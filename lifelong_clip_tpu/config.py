@@ -1,0 +1,136 @@
+"""Typed configuration for models, PEFT, streams, and training.
+
+The reference drives everything through a flat argparse namespace
+(``configuration/config.py:4-117``); here the same knobs live in typed
+dataclasses, with the CLI layer (``lifelong_clip_tpu/main.py``) mapping
+flag-compatible argument names onto them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    """Architecture hyperparameters for a CLIP image+text tower pair."""
+    embed_dim: int = 512
+    # vision tower
+    image_size: int = 224
+    patch_size: int = 16
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    # text tower
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def vision_seq_len(self) -> int:
+        return self.grid_size * self.grid_size + 1  # + CLS
+
+
+# Presets matching the OpenAI checkpoint family (shapes inferred by the
+# reference at models/clip/model.py:1005-1044).
+CLIP_PRESETS = {
+    "ViT-B/16": CLIPConfig(),
+    "ViT-B/32": dataclasses.replace(CLIPConfig(), patch_size=32),
+    "ViT-L/14": CLIPConfig(embed_dim=768, patch_size=14, vision_width=1024,
+                           vision_layers=24, vision_heads=16, text_width=768,
+                           text_heads=12, text_layers=12),
+}
+
+
+def resolve_clip_preset(model_name: str) -> CLIPConfig:
+    """Accept either a preset key or a checkpoint path containing one."""
+    if model_name in CLIP_PRESETS:
+        return CLIP_PRESETS[model_name]
+    for key, cfg in CLIP_PRESETS.items():
+        fname = key.replace("/", "-")  # e.g. ViT-B-16.pt
+        if fname in model_name or key in model_name:
+            return cfg
+    raise KeyError(f"cannot infer CLIP architecture from {model_name!r}; "
+                   f"known presets: {list(CLIP_PRESETS)}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PEFTConfig:
+    """Which parameter-efficient pieces are injected into the towers.
+
+    Mirrors the reference ``design_details`` dict consumed at
+    ``models/clip/model.py:639-683``, but resolved at trace time into
+    optional parameter subtrees rather than module-class swaps.
+    """
+    method: str = "none"  # none | lora | adapter | moe | prefix | maple | mvp
+    encoder: str = "image"  # none | image | text | both
+    lora_r: int = 4
+    lora_alpha: int = 1
+    adapter_dim: int = 64        # reference 'ffn_num'
+    adapter_scale: float = 0.1
+    moe_experts: int = 2
+    moe_top_k: int = 2
+    moe_noisy_gating: bool = True
+    prefix_len: int = 8
+    # prompt-based methods
+    n_ctx: int = 12
+    num_prompt: int = 10
+    top_k_prompt: int = 2
+    prompt_depth: int = 3        # MaPLe compound prompt depth
+
+    def on_vision(self) -> bool:
+        return self.method != "none" and self.encoder in ("image", "both")
+
+    def on_text(self) -> bool:
+        return self.method != "none" and self.encoder in ("text", "both")
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamConfig:
+    """Si-Blurry stream protocol knobs (reference utils/online_sampler.py)."""
+    n_tasks: int = 5
+    n: int = 50          # % disjoint classes
+    m: int = 10          # % blurry samples shuffled across tasks
+    rnd_NM: bool = False
+    seed: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    method: str = "lora-clip"
+    dataset: str = "cifar100"
+    model_name: str = "ViT-B/16"
+    pretrained_path: Optional[str] = None
+    batchsize: int = 64
+    test_batchsize: int = 64
+    online_iter: float = 3.0
+    temp_batchsize: int = 0
+    lr: float = 5e-4
+    opt_name: str = "adamw"
+    sched_name: str = "default"
+    memory_size: int = 0
+    eval_period: int = 1000
+    topk: int = 1
+    visible_classes: str = "batch"   # batch | all
+    peft: PEFTConfig = dataclasses.field(default_factory=PEFTConfig)
+    stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)
+    transforms: Tuple[str, ...] = ("cutmix", "autoaug")
+    use_bf16: bool = True
+    data_dir: str = "./data"
+    log_path: str = "results"
+    note: str = ""
+    debug: bool = False
+    # device mesh: (data, model) axis sizes; model=1 -> pure DP
+    mesh_shape: Tuple[int, int] = (1, 1)
+    # fixed-capacity class vocabulary for jit-stable logits
+    max_classes: int = 0  # 0 -> derived from dataset
+    n_worker: int = 0
+    seed: int = 1
+    profile: bool = False

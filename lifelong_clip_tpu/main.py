@@ -1,0 +1,103 @@
+"""CLI entry — flag-compatible with the reference's configuration surface.
+
+Usage mirrors the reference (``main.py`` + ``configuration/config.py``):
+
+    python -m lifelong_clip_tpu.main --method lora-clip --dataset cifar100 \
+        --n_tasks 5 --n 50 --m 10 --rnd_NM --batchsize 64 --lr 5e-4 \
+        --online_iter 3 --memory_size 0 --eval_period 1000
+
+Flags keep the reference names; they map onto the typed TrainConfig.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+from .config import PEFTConfig, StreamConfig, TrainConfig
+
+
+def base_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native online continual learning (LifeLong-CLIP "
+                    "capability rebuild)")
+    p.add_argument("--method", type=str, default="lora-clip")
+    p.add_argument("--dataset", type=str, default="cifar100")
+    p.add_argument("--n_tasks", type=int, default=5)
+    p.add_argument("--n", type=int, default=50)
+    p.add_argument("--m", type=int, default=10)
+    p.add_argument("--rnd_NM", action="store_true", default=False)
+    p.add_argument("--rnd_seed", type=int, default=1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--model_name", type=str, default="ViT-B/16")
+    p.add_argument("--pretrained_path", type=str, default=None)
+    p.add_argument("--batchsize", type=int, default=64)
+    p.add_argument("--test_batchsize", type=int, default=64)
+    p.add_argument("--temp_batchsize", type=int, default=0)
+    p.add_argument("--online_iter", type=float, default=1)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--opt_name", type=str, default="adamw")
+    p.add_argument("--sched_name", type=str, default="default")
+    p.add_argument("--memory_size", type=int, default=0)
+    p.add_argument("--eval_period", type=int, default=1000)
+    p.add_argument("--topk", type=int, default=1)
+    p.add_argument("--visible_classes", type=str, default="batch",
+                   choices=["batch", "all"])
+    p.add_argument("--peft_encoder", type=str, default="image",
+                   choices=["none", "both", "text", "image"])
+    p.add_argument("--lora_r", type=int, default=4)
+    p.add_argument("--lora_alpha", type=int, default=1)
+    p.add_argument("--ffn_num", type=int, default=64)
+    p.add_argument("--transforms", nargs="*", default=["cutmix", "autoaug"])
+    p.add_argument("--data_dir", type=str, default="./data")
+    p.add_argument("--log_path", type=str, default="results")
+    p.add_argument("--note", type=str, default="")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--synthetic_fallback", action="store_true",
+                   help="substitute synthetic data when the real dataset "
+                        "is not on disk")
+    p.add_argument("--mesh", type=str, default="1x1",
+                   help="device mesh 'DATAxMODEL', e.g. 8x1")
+    p.add_argument("--n_worker", type=int, default=0)
+    p.add_argument("--profile", action="store_true")
+    return p
+
+
+def args_to_config(args) -> TrainConfig:
+    mesh = tuple(int(x) for x in args.mesh.split("x"))
+    return TrainConfig(
+        method=args.method, dataset=args.dataset,
+        model_name=args.model_name, pretrained_path=args.pretrained_path,
+        batchsize=args.batchsize, test_batchsize=args.test_batchsize,
+        online_iter=args.online_iter, temp_batchsize=args.temp_batchsize,
+        lr=args.lr, opt_name=args.opt_name, sched_name=args.sched_name,
+        memory_size=args.memory_size, eval_period=args.eval_period,
+        topk=args.topk, visible_classes=args.visible_classes,
+        peft=PEFTConfig(method="none", encoder=args.peft_encoder,
+                        lora_r=args.lora_r, lora_alpha=args.lora_alpha,
+                        adapter_dim=args.ffn_num),
+        stream=StreamConfig(n_tasks=args.n_tasks, n=args.n, m=args.m,
+                            rnd_NM=args.rnd_NM, seed=args.rnd_seed),
+        transforms=tuple(args.transforms), use_bf16=not args.no_bf16,
+        data_dir=args.data_dir, log_path=args.log_path,
+        note=args.note or f"{args.method}_{args.visible_classes}_"
+                          f"{args.peft_encoder}_{args.seed}",
+        debug=args.debug, mesh_shape=mesh, n_worker=args.n_worker,
+        seed=args.seed, profile=args.profile)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    args = base_parser().parse_args(argv)
+    cfg = args_to_config(args)
+    from .methods import get_method
+    trainer = get_method(cfg.method)(
+        cfg, synthetic_fallback=args.synthetic_fallback)
+    return trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Online PEFT training of CLIP: LoRA / adapter / MoE-adapter.
+
+Parity target: reference ``methods/adapter_clip.py`` (serves both
+``lora-clip`` and ``adapter-clip``; the MoE variant rides the same trainer
+with ``design_details['method']='moe'``). The whole of the reference's
+``online_train`` (label remap loop, GPU transform, per-step class-name
+tokenization, AMP fwd/bwd, scheduler step — ``adapter_clip.py:63-113``) is
+one jitted step here; online_iter repeats execute the same compiled program.
+
+Replay memory follows the reference's reservoir + memory-batch concat
+(``adapter_clip.py:210-247``), with determinism from a seeded host RNG
+instead of rank-0 broadcast.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PEFTConfig
+from ..models import build_clip, build_peft
+from ..models.init import param_count
+from ..utils.train_utils import make_optimizer
+from .base import OnlineTrainer, pad_batch
+from .engine import (TrainState, make_eval_step, make_text_feature_fn,
+                     make_train_step)
+
+import logging
+
+log = logging.getLogger("lifelong_clip_tpu")
+
+
+class AdapterCLIP(OnlineTrainer):
+    """Trainer for lora-clip / adapter-clip / moe-clip methods."""
+
+    def setup_model(self):
+        cfg = self.cfg
+        self.params, self.clip_cfg = build_clip(
+            cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
+        method = {"lora-clip": "lora", "adapter-clip": "adapter",
+                  "moe-clip": "moe"}.get(cfg.method, cfg.peft.method)
+        self.peft_cfg = dataclasses.replace(cfg.peft, method=method)
+        self.peft = build_peft(self.next_rng(), self.clip_cfg, self.peft_cfg)
+        self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+
+        # fixed class capacity of the per-step (batch-visible) class table:
+        # a batch of B samples + replay can expose at most B + replay classes
+        self.step_capacity = min(self.vocab.max_classes,
+                                 cfg.batchsize + max(cfg.temp_batchsize, 0))
+
+        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
+                                 sched_name=cfg.sched_name,
+                                 total_steps=self._estimate_steps())
+        self.state = TrainState.create(trainable=self.peft,
+                                       frozen=self.params, tx=self.tx,
+                                       rng=self.next_rng())
+        log.info("backbone params: %d | trainable PEFT params: %d",
+                 param_count(self.params), param_count(self.peft))
+
+        use_autoaug = "autoaug" in cfg.transforms
+        self._train_step = make_train_step(
+            self.clip_cfg, self.peft_cfg, self.tx,
+            image_size=self.clip_cfg.image_size,
+            mean=self.train_dataset.mean, std=self.train_dataset.std,
+            use_autoaug=use_autoaug,
+            autoaug_policy=("cifar10" if "cifar" in cfg.dataset else
+                            "svhn" if "svhn" in cfg.dataset else "imagenet"),
+            compute_dtype=self.compute_dtype)
+        self._text_fn = make_text_feature_fn(
+            self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype)
+        self._eval_fn = make_eval_step(
+            self.clip_cfg, self.peft_cfg,
+            image_size=self.clip_cfg.image_size,
+            mean=self.train_dataset.mean, std=self.train_dataset.std,
+            compute_dtype=self.compute_dtype)
+        self._txt_cache_key = None
+
+    def _estimate_steps(self) -> int:
+        n = len(self.train_dataset)
+        return max(int(n / max(self.cfg.batchsize, 1)
+                       * max(self.cfg.online_iter, 1)), 1)
+
+    # -- hot loop --------------------------------------------------------------
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        # replay concat (half stream / half memory when temp_batchsize set)
+        if cfg.memory_size > 0 and len(self.memory) > 0 \
+                and cfg.temp_batchsize > 0:
+            mem_idx = self.memory.sample(cfg.temp_batchsize)
+            m_images, m_labels = self.train_dataset.gather(mem_idx)
+            images = np.concatenate([images, m_images], axis=0)
+            labels = np.concatenate([labels, m_labels], axis=0)
+
+        step_bs = cfg.batchsize + max(cfg.temp_batchsize, 0)
+        images, labels, _ = pad_batch(images, labels, step_bs)
+
+        if cfg.visible_classes == "batch":
+            tokens, mask, y = self.vocab.batch_table(labels,
+                                                     self.step_capacity)
+        else:  # all exposed classes visible
+            tokens = self.vocab.token_table
+            mask = self.vocab.logit_mask()
+            y = self.vocab.remap(labels)
+
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(y, jnp.int32),
+                 "tokens": jnp.asarray(tokens),
+                 "mask": jnp.asarray(mask)}
+        stats = {}
+        for _ in range(max(int(self.cfg.online_iter), 1)):
+            self.state, stats = self._train_step(self.state, batch)
+
+        if cfg.memory_size > 0:
+            for i, lab in zip(indices, labels[:len(indices)]):
+                self.memory.reservoir_update(int(i), int(lab))
+        self._txt_cache_key = None  # trainable text may have changed
+        return stats
+
+    # -- freeze policy: structural. Only the PEFT tree is in the optimizer. --
+    def online_before_task(self, task_id):
+        if self.cfg.debug:
+            log.info("task %d | exposed classes: %d", task_id,
+                     len(self.vocab))
+
+    # -- eval -------------------------------------------------------------------
+    def prepare_eval(self):
+        key = (len(self.vocab), int(self.state.step))
+        if self._txt_cache_key != key:
+            self._txt_cache = self._text_fn(
+                self.state.frozen, self.state.trainable,
+                jnp.asarray(self.vocab.token_table))
+            self._mask = jnp.asarray(self.vocab.logit_mask())
+            self._txt_cache_key = key
+
+    def predict(self, images):
+        preds, _ = self._eval_fn(self.state.frozen, self.state.trainable,
+                                 jnp.asarray(images), self._txt_cache,
+                                 self._mask)
+        return preds

@@ -1,0 +1,210 @@
+"""Host-side orchestration of the online CL lifecycle.
+
+The analogue of the reference's ``_Trainer`` (``methods/_trainer.py:249-653``)
+— seeding, stream/dataset setup, the task × batch loop, periodic online
+evaluation, metric artifacts — but with the per-step work compiled into the
+jitted engine (methods/engine.py). Host code only moves indices, builds
+padded class tables, and logs.
+
+Method hook contract preserved from the reference (``_trainer.py:418-428``):
+``online_before_task`` / ``online_step`` / ``online_after_task`` /
+``online_evaluate``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import TrainConfig, resolve_clip_preset
+from ..data.registry import ArrayDataset, get_dataset
+from ..parallel import mesh as mesh_lib
+from ..utils.class_vocab import ClassVocabulary
+from ..utils.memory import ReplayMemory
+from ..utils.metrics import OnlineMetrics, per_class_counts
+from ..utils.stream import (iter_batches, si_blurry_stream,
+                            exposed_test_indices)
+
+log = logging.getLogger("lifelong_clip_tpu")
+
+
+class OnlineTrainer:
+    """Base online continual-learning trainer."""
+
+    def __init__(self, cfg: TrainConfig,
+                 train_dataset: Optional[ArrayDataset] = None,
+                 test_dataset: Optional[ArrayDataset] = None,
+                 synthetic_fallback: bool = False):
+        self.cfg = cfg
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        self.train_dataset = train_dataset or get_dataset(
+            cfg.dataset, cfg.data_dir, train=True,
+            synthetic_fallback=synthetic_fallback)
+        self.test_dataset = test_dataset or get_dataset(
+            cfg.dataset, cfg.data_dir, train=False,
+            synthetic_fallback=synthetic_fallback)
+        self.n_classes = self.train_dataset.n_classes
+
+        self.stream = si_blurry_stream(
+            self.train_dataset.targets, self.n_classes,
+            cfg.stream.n_tasks, cfg.stream.n, cfg.stream.m,
+            cfg.stream.seed, cfg.stream.rnd_NM)
+
+        max_classes = cfg.max_classes or self.n_classes
+        self.vocab = ClassVocabulary(self.train_dataset.class_names,
+                                     max_classes=max_classes)
+        self.memory = ReplayMemory(cfg.memory_size, seed=cfg.seed)
+        self.metrics = OnlineMetrics(self.n_classes)
+        self.mesh = mesh_lib.make_mesh(cfg.mesh_shape) \
+            if np.prod(cfg.mesh_shape) > 1 else None
+
+        self.clip_cfg = resolve_clip_preset(cfg.model_name)
+        self.samples_seen = 0
+        self._next_eval = cfg.eval_period
+        self.eval_records = {"acc": [], "time": [], "step": []}
+        self._start = time.time()
+        self.setup_model()
+
+    # -- to be provided by method subclasses ---------------------------------
+    def setup_model(self):
+        raise NotImplementedError
+
+    def online_step(self, images: np.ndarray, labels: np.ndarray,
+                    indices: np.ndarray):
+        raise NotImplementedError
+
+    def online_before_task(self, task_id: int):
+        pass
+
+    def online_after_task(self, task_id: int):
+        pass
+
+    # -- main loop ------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        for task_id in range(self.stream.n_tasks):
+            log.info("### task %d / %d ###", task_id + 1,
+                     self.stream.n_tasks)
+            self.online_before_task(task_id)
+            task_indices = self.stream.task_indices[task_id]
+            if cfg.debug:
+                task_indices = task_indices[:500]
+            for batch_idx in iter_batches(task_indices, cfg.batchsize):
+                images, labels = self.train_dataset.gather(batch_idx)
+                self.vocab.expose(labels)
+                stats = self.online_step(images, labels, batch_idx)
+                self.samples_seen += len(batch_idx)
+                if stats:
+                    self._report_train(stats)
+                if self.samples_seen >= self._next_eval:
+                    self._periodic_eval()
+                    self._next_eval += cfg.eval_period
+            self.online_after_task(task_id)
+            self._task_end_eval(task_id)
+        return self.save_result()
+
+    # -- evaluation -----------------------------------------------------------
+    def evaluate(self):
+        """Full eval over test samples of exposed classes; returns
+        (correct, total) per-class arrays (global class ids)."""
+        idx = exposed_test_indices(self.test_dataset.targets,
+                                       self.vocab.exposed)
+        correct = np.zeros((self.n_classes,), np.int64)
+        total = np.zeros((self.n_classes,), np.int64)
+        if len(idx) == 0:
+            return correct, total
+        bs = self.cfg.test_batchsize
+        self.prepare_eval()
+        for lo in range(0, len(idx), bs):
+            chunk = idx[lo:lo + bs]
+            images, labels = self.test_dataset.gather(chunk)
+            n = len(chunk)
+            if n < bs:  # pad to static shape
+                pad = bs - n
+                images = np.concatenate([images, images[:pad]], axis=0)
+            preds_slot = np.asarray(self.predict(images))[:n]
+            # slot ids -> global class ids
+            exposed = np.asarray(self.vocab.exposed)
+            preds = exposed[np.clip(preds_slot, 0, len(exposed) - 1)]
+            c, t = per_class_counts(preds, labels, self.n_classes)
+            correct += c
+            total += t
+        return correct, total
+
+    def prepare_eval(self):
+        """Hook: refresh cached text features etc. before an eval sweep."""
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def _periodic_eval(self):
+        correct, total = self.evaluate()
+        acc = self.metrics.record_eval(self.samples_seen, correct, total)
+        self.eval_records["acc"].append(acc)
+        self.eval_records["time"].append(self.samples_seen)
+        self.eval_records["step"].append(self.samples_seen)
+        log.info("eval @ %d samples | acc %.4f | classes %d",
+                 self.samples_seen, acc, len(self.vocab))
+
+    def _task_end_eval(self, task_id: int):
+        correct, total = self.evaluate()
+        acc = self.metrics.record_task_end(correct, total)
+        log.info("task %d done | acc %.4f | elapsed %.1fs", task_id + 1,
+                 acc, time.time() - self._start)
+
+    def _report_train(self, stats):
+        if self.samples_seen % (self.cfg.batchsize * 20) == 0:
+            log.info("train | samples %d | loss %.4f | acc %.4f | "
+                     "classes %d", self.samples_seen,
+                     float(stats.get("loss", 0.0)),
+                     float(stats.get("acc", 0.0)), len(self.vocab))
+
+    # -- artifacts (schema-compatible with reference _trainer.py:359-401) ----
+    def result_dir(self) -> str:
+        cfg = self.cfg
+        s = cfg.stream
+        d = os.path.join(cfg.log_path, cfg.dataset,
+                         f"TASK{s.n_tasks}N{s.n}M{s.m}",
+                         cfg.note or cfg.method)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def save_result(self):
+        out = self.metrics.summary()
+        d = self.result_dir()
+        seed = self.cfg.seed
+        np.save(os.path.join(d, f"seed_{seed}.npy"),
+                np.asarray(self.metrics.task_acc))
+        np.save(os.path.join(d, f"seed_{seed}_eval.npy"),
+                np.asarray(self.eval_records["acc"]))
+        np.save(os.path.join(d, f"seed_{seed}_eval_time.npy"),
+                np.asarray(self.eval_records["time"]))
+        with open(os.path.join(d, "result.txt"), "a") as f:
+            f.write(json.dumps({"seed": seed, **out}) + "\n")
+        log.info("result: %s", out)
+        return out
+
+    # -- misc helpers ----------------------------------------------------------
+    def next_rng(self):
+        self.rng, sub = jax.random.split(self.rng)
+        return sub
+
+
+def pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int):
+    """Pad a short tail batch to the static step shape; returns valid count."""
+    n = len(labels)
+    if n == batch_size:
+        return images, labels, n
+    reps = -(-batch_size // n)
+    images = np.concatenate([images] * reps, axis=0)[:batch_size]
+    labels = np.concatenate([labels] * reps, axis=0)[:batch_size]
+    return images, labels, n

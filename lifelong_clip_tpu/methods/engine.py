@@ -1,0 +1,189 @@
+"""The jitted online-learning engine: one fused train step, one eval step.
+
+This replaces the reference's Python hot loop (``online_step`` →
+``online_train``, ``methods/adapter_clip.py:34-113``) — per-element label
+remaps, per-step BPE tokenization, eager per-block attention, host-side
+scheduler stepping — with a single compiled XLA program per step taking
+``(state, batch)`` and returning ``(state, metrics)``. Augmentation runs
+inside the step (ops/preprocess.py); collectives are compiler-inserted when
+the batch is sharded over the mesh's data axis.
+
+State is an explicit pytree (flax.struct), so checkpointing, donation, and
+sharding all follow from standard JAX machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import CLIPConfig, PEFTConfig
+from ..models import clip as clip_fns
+from ..ops import preprocess
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Any          # PEFT / prompt / head params (optimized)
+    frozen: Any             # backbone params (never optimized)
+    opt_state: Any
+    rng: jnp.ndarray
+
+    @classmethod
+    def create(cls, *, trainable, frozen, tx, rng):
+        return cls(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                   frozen=frozen, opt_state=tx.init(trainable), rng=rng)
+
+
+def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
+                 peft_cfg: PEFTConfig, compute_dtype, attn_impl: str):
+    """CLIP forward with PEFT trees routed to their towers."""
+    logits, img_f, txt_f = clip_fns.clip_forward(
+        frozen, images, tokens, clip_cfg, peft_cfg=peft_cfg,
+        peft_vision=trainable.get("vision"),
+        peft_text=trainable.get("text"),
+        compute_dtype=compute_dtype, attn_impl=attn_impl)
+    return logits, img_f, txt_f
+
+
+def make_train_step(clip_cfg: CLIPConfig,
+                    peft_cfg: PEFTConfig,
+                    tx: optax.GradientTransformation,
+                    *,
+                    image_size: int,
+                    mean, std,
+                    augment: bool = True,
+                    use_autoaug: bool = False,
+                    autoaug_policy: str = "imagenet",
+                    use_cutmix: bool = False,
+                    compute_dtype=jnp.bfloat16,
+                    attn_impl: str = "xla",
+                    forward_fn: Optional[Callable] = None,
+                    loss_fn: Optional[Callable] = None,
+                    donate: bool = True):
+    """Build the jitted online train step.
+
+    batch dict:
+      images  (B, H, W, C) uint8 raw samples
+      labels  (B,) int32 — already remapped to class-table slots
+      tokens  (K, ctx) int32 — padded class token table for this step
+      mask    (K,) f32 — 0 on valid class slots, -inf on padding
+    """
+    pipeline = preprocess.make_train_pipeline(
+        image_size, mean, std, use_autoaug=use_autoaug,
+        autoaug_policy=autoaug_policy,
+        out_dtype=compute_dtype) if augment else None
+    fwd = forward_fn or functools.partial(
+        peft_forward, clip_cfg=clip_cfg, peft_cfg=peft_cfg,
+        compute_dtype=compute_dtype, attn_impl=attn_impl)
+
+    def default_loss(logits, labels):
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean()
+
+    compute_loss = loss_fn or default_loss
+
+    def step(state: TrainState, batch):
+        rng, aug_rng, mix_rng = jax.random.split(state.rng, 3)
+        if pipeline is not None:
+            images = pipeline(aug_rng, batch["images"])
+        else:
+            images = batch["images"].astype(compute_dtype)
+
+        n_cls = batch["tokens"].shape[0]
+        y_soft = jax.nn.one_hot(batch["labels"], n_cls)
+        if use_cutmix:
+            # 50% of steps apply batch CutMix (reference
+            # methods/er_baseline.py:132-147)
+            k1, k2 = jax.random.split(mix_rng)
+            mixed, y_mixed, _ = preprocess.cutmix(k2, images, y_soft)
+            do = jax.random.bernoulli(k1)
+            images = jnp.where(do, mixed, images)
+            y_soft = jnp.where(do, y_mixed, y_soft)
+
+        def objective(trainable):
+            logits, img_f, txt_f = fwd(state.frozen, trainable, images,
+                                       batch["tokens"])
+            logits = logits + batch["mask"][None, :]
+            if use_cutmix:
+                loss = jnp.mean(optax.softmax_cross_entropy(logits, y_soft))
+            else:
+                loss = compute_loss(logits, batch["labels"])
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == batch["labels"]).astype(
+                    jnp.float32))
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = state.replace(step=state.step + 1, trainable=trainable,
+                                  opt_state=opt_state, rng=rng)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_text_feature_fn(clip_cfg: CLIPConfig,
+                         peft_cfg: PEFTConfig,
+                         *,
+                         compute_dtype=jnp.bfloat16,
+                         attn_impl: str = "xla"):
+    """Jitted class-token-table -> normalized text features.
+
+    Run once per exposed-class change at eval time (the reference re-runs
+    the text encoder on every train/eval step even for an unchanged class
+    set — this cache is one of the big structural wins)."""
+
+    @jax.jit
+    def text_features(frozen, trainable, tokens):
+        txt = clip_fns.encode_text(
+            frozen, tokens, clip_cfg,
+            peft_cfg=peft_cfg if peft_cfg.on_text() else None,
+            peft=(trainable or {}).get("text"),
+            compute_dtype=compute_dtype, attn_impl=attn_impl)
+        return clip_fns.normalize(txt)
+
+    return text_features
+
+
+def make_eval_step(clip_cfg: CLIPConfig,
+                   peft_cfg: PEFTConfig,
+                   *,
+                   image_size: int,
+                   mean, std,
+                   compute_dtype=jnp.bfloat16,
+                   attn_impl: str = "xla"):
+    """Jitted eval step: images + cached text features -> (preds, logits).
+
+    Mirrors reference ``online_evaluate`` (methods/adapter_clip.py:132-176)
+    but against precomputed text features and with -inf masking of
+    unexposed class slots.
+    """
+
+    @jax.jit
+    def eval_step(frozen, trainable, images_u8, txt_features, mask):
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = preprocess.resize_bilinear(x, image_size)
+        x = preprocess.normalize(x, mean, std).astype(compute_dtype)
+        img = clip_fns.encode_image(
+            frozen, x, clip_cfg,
+            peft_cfg=peft_cfg if peft_cfg.on_vision() else None,
+            peft=(trainable or {}).get("vision"),
+            compute_dtype=compute_dtype, attn_impl=attn_impl)
+        img = clip_fns.normalize(img)
+        scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
+        logits = scale * jnp.einsum(
+            "be,ce->bc", img.astype(jnp.float32),
+            txt_features.astype(jnp.float32))
+        logits = logits + mask[None, :]
+        return jnp.argmax(logits, axis=-1), logits
+
+    return eval_step

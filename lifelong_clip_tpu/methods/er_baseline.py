@@ -1,0 +1,153 @@
+"""Experience Replay + naive Finetuning baselines.
+
+Parity targets: reference ``methods/er_baseline.py`` (reservoir memory,
+replay-batch concat, cutmix-augmented training) and
+``methods/finetuning.py`` (no memory, plain online SGD). The reference's
+classifier for these methods is a trainable vision model; here the
+classifier is the CLIP vision tower + a linear head over ``max_classes``
+logits — the head (and, for FT, the whole tower) sits in the trainable
+pytree, so the same jitted engine serves all of them.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PEFTConfig
+from ..models import build_clip
+from ..models import clip as clip_fns
+from ..models.init import param_count
+from ..utils.train_utils import make_optimizer
+from .base import OnlineTrainer, pad_batch
+from .engine import TrainState, make_train_step
+
+log = logging.getLogger("lifelong_clip_tpu")
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def head_forward(frozen, trainable, images, tokens, *, clip_cfg,
+                 compute_dtype):
+    """Classifier forward: CLIP image features -> linear head logits.
+
+    If the trainable tree carries a ``backbone`` (FT), the vision tower
+    itself is trained; otherwise it stays frozen.
+    """
+    params = trainable.get("backbone") or frozen
+    img = clip_fns.encode_image(params, images, clip_cfg,
+                                compute_dtype=compute_dtype)
+    img = clip_fns.normalize(img).astype(jnp.float32)
+    logits = jnp.einsum("be,ec->bc", img, trainable["head"]["w"],
+                        precision=_P) + trainable["head"]["b"]
+    return logits, img, None
+
+
+class ER(OnlineTrainer):
+    """Experience replay with reservoir memory and cutmix."""
+
+    train_backbone = False
+
+    def setup_model(self):
+        cfg = self.cfg
+        self.params, self.clip_cfg = build_clip(
+            cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
+        self.peft_cfg = PEFTConfig(method="none")
+        self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        c = self.vocab.max_classes
+        e = self.clip_cfg.embed_dim
+        head = {"w": jnp.zeros((e, c), jnp.float32),
+                "b": jnp.zeros((c,), jnp.float32)}
+        trainable = {"head": head}
+        frozen = self.params
+        if self.train_backbone:
+            # the tower moves into the trainable tree; keep frozen empty so
+            # the donated state never aliases the same buffers twice
+            trainable["backbone"] = self.params
+            frozen = {}
+        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
+                                 sched_name=cfg.sched_name)
+        self.state = TrainState.create(trainable=trainable,
+                                       frozen=frozen, tx=self.tx,
+                                       rng=self.next_rng())
+        log.info("trainable params: %d", param_count(trainable))
+
+        import functools
+        fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
+                                compute_dtype=self.compute_dtype)
+        self._train_step = make_train_step(
+            self.clip_cfg, self.peft_cfg, self.tx,
+            image_size=self.clip_cfg.image_size,
+            mean=self.train_dataset.mean, std=self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            use_cutmix="cutmix" in cfg.transforms,
+            compute_dtype=self.compute_dtype, forward_fn=fwd)
+
+        @jax.jit
+        def predict_fn(frozen, trainable, images_u8, mask):
+            from ..ops import preprocess
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = preprocess.resize_bilinear(x, self.clip_cfg.image_size)
+            x = preprocess.normalize(x, self.train_dataset.mean,
+                                     self.train_dataset.std)
+            logits, _, _ = fwd(frozen, trainable,
+                               x.astype(self.compute_dtype), None)
+            return jnp.argmax(logits + mask[None, :], axis=-1)
+
+        self._predict_fn = predict_fn
+        # head logits cover all max_classes slots; tokens unused
+        self._dummy_tokens = jnp.zeros((self.vocab.max_classes, 1),
+                                       jnp.int32)
+
+    def replay_concat(self, images, labels):
+        cfg = self.cfg
+        mem_bs = max(cfg.batchsize - cfg.temp_batchsize, 0) \
+            if cfg.temp_batchsize > 0 else cfg.batchsize
+        if cfg.memory_size > 0 and len(self.memory) > 0 and mem_bs > 0:
+            mem_idx = self.memory.sample(mem_bs)
+            m_images, m_labels = self.train_dataset.gather(mem_idx)
+            images = np.concatenate([images, m_images], axis=0)
+            labels = np.concatenate([labels, m_labels], axis=0)
+        return images, labels
+
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        stream_images, stream_labels = images, labels
+        images, labels = self.replay_concat(images, labels)
+        step_bs = cfg.batchsize * 2 if cfg.memory_size > 0 else cfg.batchsize
+        images, labels, _ = pad_batch(images, labels, step_bs)
+        y = self.vocab.remap(labels)
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(y, jnp.int32),
+                 "tokens": self._dummy_tokens,
+                 "mask": jnp.asarray(self.vocab.logit_mask())}
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            self.state, stats = self._train_step(self.state, batch)
+        self.update_memory(indices, stream_labels)
+        return stats
+
+    def update_memory(self, indices, labels):
+        if self.cfg.memory_size > 0:
+            for i, lab in zip(indices, labels):
+                self.memory.reservoir_update(int(i), int(lab))
+
+    def prepare_eval(self):
+        self._mask = jnp.asarray(self.vocab.logit_mask())
+
+    def predict(self, images):
+        return self._predict_fn(self.state.frozen, self.state.trainable,
+                                jnp.asarray(images), self._mask)
+
+
+class FT(ER):
+    """Naive online finetuning (reference methods/finetuning.py): trains
+    the full vision tower + head, no replay memory."""
+
+    train_backbone = True
+
+    def update_memory(self, indices, labels):
+        pass

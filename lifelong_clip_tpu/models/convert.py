@@ -1,0 +1,132 @@
+"""Convert an OpenAI CLIP checkpoint into the functional pytree layout.
+
+Covers what the reference loader does at ``models/clip/clip_loader.py:83-139``
++ ``build_model`` (``models/clip/model.py:1005-1062``): accept a TorchScript
+archive or plain state dict, infer the architecture from tensor shapes, and
+produce parameters — here as layer-stacked JAX pytrees matching
+``models/init.py``. Torch (CPU build) is used only as a file reader; nothing
+torch touches the compute path.
+
+No network download: the reference fetches weights by URL with sha256
+verification; in this environment checkpoints must be provided on disk
+(``pretrained_path``). Absent a checkpoint, models run from seeded random
+init (tests/bench do this).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CLIPConfig
+
+
+def _load_state_dict(path: str):
+    import torch  # local import: torch is IO-only here
+    obj = torch.jit.load(path, map_location="cpu").state_dict() \
+        if _is_jit_archive(path) else torch.load(path, map_location="cpu")
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return {k: v.float().cpu().numpy() for k, v in obj.items()}
+
+
+def _is_jit_archive(path: str) -> bool:
+    import zipfile
+    try:
+        with zipfile.ZipFile(path) as zf:
+            return any(n.endswith("constants.pkl") for n in zf.namelist())
+    except Exception:
+        return False
+
+
+def infer_config(sd) -> CLIPConfig:
+    """Shape-driven architecture inference (reference model.py:1005-1044)."""
+    vision_width = sd["visual.conv1.weight"].shape[0]
+    patch_size = sd["visual.conv1.weight"].shape[-1]
+    vision_layers = len({k.split(".")[2] for k in sd
+                         if k.startswith("visual.transformer.resblocks")})
+    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    embed_dim = sd["text_projection"].shape[1]
+    text_width = sd["ln_final.weight"].shape[0]
+    text_layers = len({k.split(".")[2] for k in sd
+                       if k.startswith("transformer.resblocks")})
+    return CLIPConfig(
+        embed_dim=embed_dim,
+        image_size=grid * patch_size,
+        patch_size=patch_size,
+        vision_width=vision_width,
+        vision_layers=vision_layers,
+        vision_heads=vision_width // 64,
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        text_width=text_width,
+        text_heads=text_width // 64,
+        text_layers=text_layers,
+    )
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _stack_blocks(sd, prefix: str, layers: int):
+    out = {"ln_1": {"scale": [], "bias": []},
+           "attn": {"w_qkv": [], "b_qkv": [], "w_out": [], "b_out": []},
+           "ln_2": {"scale": [], "bias": []},
+           "mlp": {"w_fc": [], "b_fc": [], "w_proj": [], "b_proj": []}}
+    for i in range(layers):
+        p = f"{prefix}.resblocks.{i}"
+        out["ln_1"]["scale"].append(sd[f"{p}.ln_1.weight"])
+        out["ln_1"]["bias"].append(sd[f"{p}.ln_1.bias"])
+        # torch in_proj_weight is (3D, D) acting as x @ W.T -> transpose
+        out["attn"]["w_qkv"].append(sd[f"{p}.attn.in_proj_weight"].T)
+        out["attn"]["b_qkv"].append(sd[f"{p}.attn.in_proj_bias"])
+        out["attn"]["w_out"].append(sd[f"{p}.attn.out_proj.weight"].T)
+        out["attn"]["b_out"].append(sd[f"{p}.attn.out_proj.bias"])
+        out["ln_2"]["scale"].append(sd[f"{p}.ln_2.weight"])
+        out["ln_2"]["bias"].append(sd[f"{p}.ln_2.bias"])
+        out["mlp"]["w_fc"].append(sd[f"{p}.mlp.c_fc.weight"].T)
+        out["mlp"]["b_fc"].append(sd[f"{p}.mlp.c_fc.bias"])
+        out["mlp"]["w_proj"].append(sd[f"{p}.mlp.c_proj.weight"].T)
+        out["mlp"]["b_proj"].append(sd[f"{p}.mlp.c_proj.bias"])
+    import jax.numpy as jnp
+    return {k: {kk: jnp.asarray(np.stack(vv)) for kk, vv in v.items()}
+            for k, v in out.items()}
+
+
+def state_dict_to_params(sd, cfg: CLIPConfig = None):
+    """Returns (params, cfg). ``sd``: str->np.ndarray state dict."""
+    import jax.numpy as jnp
+    cfg = cfg or infer_config(sd)
+    conv = sd["visual.conv1.weight"]  # (W, 3, P, P)
+    # our patch vectors are flattened (ph, pw, c): reorder kernel to match
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
+    params = {
+        "vision": {
+            "patch_kernel": jnp.asarray(patch_kernel),
+            "class_embedding": jnp.asarray(sd["visual.class_embedding"]),
+            "pos_embed": jnp.asarray(sd["visual.positional_embedding"]),
+            "ln_pre": {k: jnp.asarray(v) for k, v in
+                       _ln(sd, "visual.ln_pre").items()},
+            "blocks": _stack_blocks(sd, "visual.transformer",
+                                    cfg.vision_layers),
+            "ln_post": {k: jnp.asarray(v) for k, v in
+                        _ln(sd, "visual.ln_post").items()},
+            "proj": jnp.asarray(sd["visual.proj"]),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+            "pos_embed": jnp.asarray(sd["positional_embedding"]),
+            "blocks": _stack_blocks(sd, "transformer", cfg.text_layers),
+            "ln_final": {k: jnp.asarray(v) for k, v in
+                         _ln(sd, "ln_final").items()},
+            "text_projection": jnp.asarray(sd["text_projection"]),
+        },
+        "logit_scale": jnp.asarray(sd["logit_scale"]),
+    }
+    return params, cfg
+
+
+def load_clip_params(path: str):
+    """Load checkpoint file -> (params, cfg)."""
+    sd = _load_state_dict(path)
+    return state_dict_to_params(sd)

@@ -1,0 +1,382 @@
+"""AutoAugment / RandAugment as pure JAX array ops.
+
+The reference applies PIL-based AutoAugment policies per image on the host
+(``utils/augment.py:24-265``) or via torchvision on batched GPU tensors
+with a uint8 round-trip (``methods/_trainer.py:216-229``). Here every op is
+a jit-compatible function over float images in [0, 1]; policy selection is
+a per-sample ``lax.switch``, affine ops are bilinear gather warps, and the
+whole thing fuses into the train step (north-star item in BASELINE.json).
+
+Policy tables follow the published AutoAugment policies (ImageNet / CIFAR10
+/ SVHN) used by torchvision; sub-policy = two (op, prob, magnitude) stages.
+Magnitude ranges follow torchvision's AutoAugment bins (10 levels); exact
+PIL parity is approximate by design (resampling and rounding differ) — the
+A_auc parity budget covers this (SURVEY §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------------
+# geometry: bilinear affine warp (replaces PIL Image.transform)
+# --------------------------------------------------------------------------
+
+def _affine_warp(img, mat):
+    """img (H, W, C) float; mat 2x3 mapping OUTPUT coords -> INPUT coords
+    (PIL convention). Out-of-bounds samples fill with 0."""
+    h, w, c = img.shape
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    xin = mat[0, 0] * xs + mat[0, 1] * ys + mat[0, 2]
+    yin = mat[1, 0] * xs + mat[1, 1] * ys + mat[1, 2]
+
+    x0 = jnp.floor(xin)
+    y0 = jnp.floor(yin)
+    wx = xin - x0
+    wy = yin - y0
+
+    def gather(yc, xc):
+        valid = ((xc >= 0) & (xc < w) & (yc >= 0) & (yc < h))
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        vals = img[yi, xi]                    # (H, W, C)
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    out = ((1 - wx)[..., None] * (1 - wy)[..., None] * gather(y0, x0)
+           + wx[..., None] * (1 - wy)[..., None] * gather(y0, x0 + 1)
+           + (1 - wx)[..., None] * wy[..., None] * gather(y0 + 1, x0)
+           + wx[..., None] * wy[..., None] * gather(y0 + 1, x0 + 1))
+    return out.astype(img.dtype)
+
+
+def _center_affine(img, a, b, c_, d):
+    """Affine about the image center with linear part [[a,b],[c_,d]]."""
+    h, w, _ = img.shape
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    # output->input: translate center to origin, apply M, translate back
+    tx = cx - a * cx - b * cy
+    ty = cy - c_ * cx - d * cy
+    mat = jnp.array([[a, b, tx], [c_, d, ty]], jnp.float32)
+    return _affine_warp(img, mat)
+
+
+def shear_x(img, mag):
+    return _center_affine(img, 1.0, mag, 0.0, 1.0)
+
+
+def shear_y(img, mag):
+    return _center_affine(img, 1.0, 0.0, mag, 1.0)
+
+
+def translate_x(img, mag):
+    h, w, _ = img.shape
+    mat = jnp.array([[1.0, 0.0, mag * w], [0.0, 1.0, 0.0]], jnp.float32)
+    return _affine_warp(img, mat)
+
+
+def translate_y(img, mag):
+    h, w, _ = img.shape
+    mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, mag * h]], jnp.float32)
+    return _affine_warp(img, mat)
+
+
+def rotate(img, deg):
+    rad = deg * jnp.pi / 180.0
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    return _center_affine(img, c, s, -s, c)
+
+
+# --------------------------------------------------------------------------
+# color ops (PIL ImageEnhance/ImageOps semantics on [0,1] floats)
+# --------------------------------------------------------------------------
+
+# numpy on purpose: this module may first import inside a jit trace (lazy
+# import from the preprocess pipeline); a module-level jnp constant created
+# there would be a leaked tracer.
+import numpy as _np  # noqa: E402
+
+_GRAY = _np.array([0.299, 0.587, 0.114], _np.float32)
+
+
+def _blend(a, b, factor):
+    return jnp.clip(b + factor * (a - b), 0.0, 1.0)
+
+
+def invert(img, _=None):
+    return 1.0 - img
+
+
+def brightness(img, factor):
+    return _blend(img, jnp.zeros_like(img), factor)
+
+
+def color(img, factor):
+    gray = jnp.tensordot(img, _GRAY, axes=[[-1], [0]])[..., None]
+    return _blend(img, jnp.broadcast_to(gray, img.shape), factor)
+
+
+def contrast(img, factor):
+    gray = jnp.tensordot(img, _GRAY, axes=[[-1], [0]])
+    mean = jnp.mean(jnp.round(gray * 255.0) / 255.0)
+    return _blend(img, jnp.full_like(img, mean), factor)
+
+
+def sharpness(img, factor):
+    # PIL SMOOTH kernel: [[1,1,1],[1,5,1],[1,1,1]] / 13, border kept
+    k = jnp.array([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    blurred = jax.lax.conv_general_dilated(
+        img.transpose(2, 0, 1)[:, None], k[None, None], (1, 1), "SAME",
+        precision=jax.lax.Precision.HIGHEST)[:, 0].transpose(1, 2, 0)
+    h, w, _ = img.shape
+    interior = ((jnp.arange(h) > 0) & (jnp.arange(h) < h - 1))[:, None] & \
+        ((jnp.arange(w) > 0) & (jnp.arange(w) < w - 1))[None, :]
+    blurred = jnp.where(interior[..., None], blurred, img)
+    return _blend(img, blurred, factor)
+
+
+def posterize(img, bits):
+    levels = jnp.round(img * 255.0).astype(jnp.int32)
+    shift = (8 - bits).astype(jnp.int32)
+    kept = (levels >> shift) << shift
+    return kept.astype(jnp.float32) / 255.0
+
+
+def solarize(img, threshold):
+    return jnp.where(img >= threshold, 1.0 - img, img)
+
+
+def autocontrast(img, _=None):
+    lo = jnp.min(img, axis=(0, 1), keepdims=True)
+    hi = jnp.max(img, axis=(0, 1), keepdims=True)
+    scale = jnp.where(hi > lo, 1.0 / (hi - lo), 1.0)
+    return jnp.clip((img - lo) * scale, 0.0, 1.0)
+
+
+def equalize(img, _=None):
+    """Per-channel histogram equalization (PIL ImageOps.equalize)."""
+    def eq_channel(ch):
+        levels = jnp.round(ch * 255.0).astype(jnp.int32)
+        hist = jnp.bincount(levels.ravel(), length=256)
+        nonzero = hist > 0
+        # PIL: step = (total - last_nonzero_count) // 255
+        last_nz = jnp.max(jnp.where(nonzero, jnp.arange(256), -1))
+        step = (jnp.sum(hist) - hist[last_nz]) // 255
+        cum = jnp.cumsum(hist)
+        lut = (cum - hist + (step // 2)) // jnp.maximum(step, 1)
+        lut = jnp.clip(lut, 0, 255)
+        out = jnp.where(step == 0, levels, lut[levels])
+        return out.astype(jnp.float32) / 255.0
+
+    return jnp.stack([eq_channel(img[..., i]) for i in range(3)], axis=-1)
+
+
+def identity(img, _=None):
+    return img
+
+
+# --------------------------------------------------------------------------
+# policy machinery
+# --------------------------------------------------------------------------
+
+# op name -> (fn, magnitude_for_level fn, signed)
+def _lvl(lo, hi):
+    return lambda m: lo + (hi - lo) * (m / 9.0)
+
+
+_OPS = {
+    "ShearX": (shear_x, _lvl(0.0, 0.3), True),
+    "ShearY": (shear_y, _lvl(0.0, 0.3), True),
+    "TranslateX": (translate_x, _lvl(0.0, 150.0 / 331.0), True),
+    "TranslateY": (translate_y, _lvl(0.0, 150.0 / 331.0), True),
+    "Rotate": (rotate, _lvl(0.0, 30.0), True),
+    "Brightness": (brightness, lambda m: 1.0 + _lvl(0.0, 0.9)(m), "enh"),
+    "Color": (color, lambda m: 1.0 + _lvl(0.0, 0.9)(m), "enh"),
+    "Contrast": (contrast, lambda m: 1.0 + _lvl(0.0, 0.9)(m), "enh"),
+    "Sharpness": (sharpness, lambda m: 1.0 + _lvl(0.0, 0.9)(m), "enh"),
+    # magnitude-table lambdas take python floats at table-build time and
+    # must stay pure-python (jnp here would stage tracers when the table
+    # is first built inside a jit trace)
+    "Posterize": (posterize, lambda m: 8.0 - round(_lvl(0.0, 4.0)(m)),
+                  False),
+    "Solarize": (solarize, _lvl(1.0, 0.0), False),
+    "AutoContrast": (autocontrast, lambda m: 0.0, False),
+    "Equalize": (equalize, lambda m: 0.0, False),
+    "Invert": (invert, lambda m: 0.0, False),
+    "Identity": (identity, lambda m: 0.0, False),
+}
+
+_OP_NAMES = list(_OPS)
+
+
+def _apply_op(img, op_idx, mag, sign):
+    """lax.switch over the op table; sign in {-1, +1} flips signed mags."""
+    def branch(name):
+        fn, _, signed = _OPS[name]
+
+        def run(img):
+            if signed is True:
+                return fn(img, mag * sign)
+            if signed == "enh":
+                # enhancement factor 1±delta
+                return fn(img, 1.0 + (mag - 1.0) * sign)
+            return fn(img, mag)
+
+        return run
+
+    return jax.lax.switch(op_idx, [branch(n) for n in _OP_NAMES], img)
+
+
+# published AutoAugment policies (op, prob, level 0-9); level None -> 0
+POLICIES = {
+    "imagenet": [
+        (("Posterize", 0.4, 8), ("Rotate", 0.6, 9)),
+        (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 0)),
+        (("Equalize", 0.8, 0), ("Equalize", 0.6, 0)),
+        (("Posterize", 0.6, 7), ("Posterize", 0.6, 6)),
+        (("Equalize", 0.4, 0), ("Solarize", 0.2, 4)),
+        (("Equalize", 0.4, 0), ("Rotate", 0.8, 8)),
+        (("Solarize", 0.6, 3), ("Equalize", 0.6, 0)),
+        (("Posterize", 0.8, 5), ("Equalize", 1.0, 0)),
+        (("Rotate", 0.2, 3), ("Solarize", 0.6, 8)),
+        (("Equalize", 0.6, 0), ("Posterize", 0.4, 6)),
+        (("Rotate", 0.8, 8), ("Color", 0.4, 0)),
+        (("Rotate", 0.4, 9), ("Equalize", 0.6, 0)),
+        (("Equalize", 0.0, 0), ("Equalize", 0.8, 0)),
+        (("Invert", 0.6, 0), ("Equalize", 1.0, 0)),
+        (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+        (("Rotate", 0.8, 8), ("Color", 1.0, 2)),
+        (("Color", 0.8, 8), ("Solarize", 0.8, 7)),
+        (("Sharpness", 0.4, 7), ("Invert", 0.6, 0)),
+        (("ShearX", 0.6, 5), ("Equalize", 1.0, 0)),
+        (("Color", 0.4, 0), ("Equalize", 0.6, 0)),
+        (("Equalize", 0.4, 0), ("Solarize", 0.2, 4)),
+        (("Solarize", 0.6, 5), ("AutoContrast", 0.6, 0)),
+        (("Invert", 0.6, 0), ("Equalize", 1.0, 0)),
+        (("Color", 0.6, 4), ("Contrast", 1.0, 8)),
+        (("Equalize", 0.8, 0), ("Equalize", 0.6, 0)),
+    ],
+    "cifar10": [
+        (("Invert", 0.1, 0), ("Contrast", 0.2, 6)),
+        (("Rotate", 0.7, 2), ("TranslateX", 0.3, 9)),
+        (("Sharpness", 0.8, 1), ("Sharpness", 0.9, 3)),
+        (("ShearY", 0.5, 8), ("TranslateY", 0.7, 9)),
+        (("AutoContrast", 0.5, 0), ("Equalize", 0.9, 0)),
+        (("ShearY", 0.2, 7), ("Posterize", 0.3, 7)),
+        (("Color", 0.4, 3), ("Brightness", 0.6, 7)),
+        (("Sharpness", 0.3, 9), ("Brightness", 0.7, 9)),
+        (("Equalize", 0.6, 0), ("Equalize", 0.5, 0)),
+        (("Contrast", 0.6, 7), ("Sharpness", 0.6, 5)),
+        (("Color", 0.7, 7), ("TranslateX", 0.5, 8)),
+        (("Equalize", 0.3, 0), ("AutoContrast", 0.4, 0)),
+        (("TranslateY", 0.4, 3), ("Sharpness", 0.2, 6)),
+        (("Brightness", 0.9, 6), ("Color", 0.2, 8)),
+        (("Solarize", 0.5, 2), ("Invert", 0.0, 0)),
+        (("Equalize", 0.2, 0), ("AutoContrast", 0.6, 0)),
+        (("Equalize", 0.2, 0), ("Equalize", 0.6, 0)),
+        (("Color", 0.9, 9), ("Equalize", 0.6, 0)),
+        (("AutoContrast", 0.8, 0), ("Solarize", 0.2, 8)),
+        (("Brightness", 0.1, 3), ("Color", 0.7, 0)),
+        (("Solarize", 0.4, 5), ("AutoContrast", 0.9, 0)),
+        (("TranslateY", 0.9, 9), ("TranslateY", 0.7, 9)),
+        (("AutoContrast", 0.9, 0), ("Solarize", 0.8, 3)),
+        (("Equalize", 0.8, 0), ("Invert", 0.1, 0)),
+        (("TranslateY", 0.7, 9), ("AutoContrast", 0.9, 0)),
+    ],
+    "svhn": [
+        (("ShearX", 0.9, 4), ("Invert", 0.2, 3)),
+        (("ShearY", 0.9, 8), ("Invert", 0.7, 5)),
+        (("Equalize", 0.6, 5), ("Solarize", 0.6, 6)),
+        (("Invert", 0.9, 3), ("Equalize", 0.6, 3)),
+        (("Equalize", 0.6, 1), ("Rotate", 0.9, 3)),
+        (("ShearX", 0.9, 4), ("AutoContrast", 0.8, 3)),
+        (("ShearY", 0.9, 8), ("Invert", 0.4, 5)),
+        (("ShearY", 0.9, 5), ("Solarize", 0.2, 6)),
+        (("Invert", 0.9, 6), ("AutoContrast", 0.8, 1)),
+        (("Equalize", 0.6, 3), ("Rotate", 0.9, 3)),
+        (("ShearX", 0.9, 4), ("Solarize", 0.3, 3)),
+        (("ShearY", 0.8, 8), ("Invert", 0.7, 4)),
+        (("Equalize", 0.9, 5), ("TranslateY", 0.6, 6)),
+        (("ShearX", 0.9, 4), ("AutoContrast", 0.8, 3)),
+        (("ShearY", 0.8, 8), ("Solarize", 0.7, 4)),
+        (("Invert", 0.6, 4), ("Rotate", 0.8, 4)),
+        (("ShearY", 0.3, 7), ("TranslateX", 0.9, 3)),
+        (("ShearX", 0.1, 6), ("Invert", 0.6, 5)),
+        (("Solarize", 0.7, 2), ("TranslateY", 0.6, 7)),
+        (("ShearY", 0.8, 4), ("Invert", 0.8, 8)),
+        (("ShearX", 0.7, 9), ("TranslateY", 0.8, 3)),
+        (("ShearY", 0.8, 5), ("AutoContrast", 0.7, 3)),
+        (("ShearX", 0.7, 2), ("Invert", 0.1, 5)),
+        (("Solarize", 0.5, 0), ("TranslateY", 0.2, 1)),
+        (("AutoContrast", 0.9, 5), ("Solarize", 0.5, 3)),
+    ],
+}
+
+
+@functools.lru_cache()
+def _policy_arrays(policy: str):
+    """Pack a policy table into (op_idx, prob, mag) numpy arrays (P, 2).
+
+    Numpy (not jnp) on purpose: this is lru_cached and may first run inside
+    a jit trace — caching trace-local jnp constants would leak tracers.
+    """
+    import numpy as np
+    table = POLICIES[policy]
+    op_idx = np.zeros((len(table), 2), np.int32)
+    prob = np.zeros((len(table), 2), np.float32)
+    mag = np.zeros((len(table), 2), np.float32)
+    for i, stages in enumerate(table):
+        for j, (name, p, lvl) in enumerate(stages):
+            op_idx[i, j] = _OP_NAMES.index(name)
+            prob[i, j] = p
+            mag[i, j] = float(_OPS[name][1](float(lvl)))
+    return op_idx, prob, mag
+
+
+def _augment_one(rng, img, op_idx, prob, mag):
+    """Apply one sub-policy (2 stages) to a single image."""
+    ks = jax.random.split(rng, 5)
+    pick = jax.random.randint(ks[0], (), 0, op_idx.shape[0])
+    for j in range(2):
+        gate = jax.random.bernoulli(ks[1 + j], prob[pick, j])
+        sign = jnp.where(jax.random.bernoulli(ks[3 + (j % 2)]), 1.0, -1.0)
+        img = jnp.where(gate,
+                        _apply_op(img, op_idx[pick, j], mag[pick, j], sign),
+                        img)
+    return img
+
+
+def auto_augment_batch(rng, images, policy: str = "imagenet"):
+    """(B, H, W, C) float [0,1] -> augmented, per-sample policy draw."""
+    op_idx, prob, mag = (jnp.asarray(a) for a in _policy_arrays(policy))
+    rngs = jax.random.split(rng, images.shape[0])
+    return jax.vmap(lambda r, im: _augment_one(r, im, op_idx, prob, mag))(
+        rngs, images)
+
+
+_RA_OPS = ["Identity", "ShearX", "ShearY", "TranslateX", "TranslateY",
+           "Rotate", "Brightness", "Color", "Contrast", "Sharpness",
+           "Posterize", "Solarize", "AutoContrast", "Equalize"]
+
+
+def rand_augment_batch(rng, images, num_ops: int = 2, magnitude: int = 9):
+    """RandAugment (N ops at fixed magnitude), per sample."""
+    import numpy as np
+    ra_idx = jnp.asarray([_OP_NAMES.index(n) for n in _RA_OPS], jnp.int32)
+    mags = jnp.asarray([float(_OPS[n][1](float(magnitude)))
+                        for n in _RA_OPS], jnp.float32)
+
+    def one(rng, img):
+        for i in range(num_ops):
+            k1, k2, rng = jax.random.split(rng, 3)
+            pick = jax.random.randint(k1, (), 0, len(_RA_OPS))
+            sign = jnp.where(jax.random.bernoulli(k2), 1.0, -1.0)
+            img = _apply_op(img, ra_idx[pick], mags[pick], sign)
+        return img
+
+    rngs = jax.random.split(rng, images.shape[0])
+    return jax.vmap(one)(rngs, images)

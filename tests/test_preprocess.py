@@ -1,0 +1,91 @@
+"""Fused preprocessing + AutoAugment/RandAugment tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lifelong_clip_tpu.ops import preprocess
+from lifelong_clip_tpu.ops.autoaugment import (auto_augment_batch,
+                                               autocontrast, equalize,
+                                               posterize, rand_augment_batch,
+                                               rotate, solarize)
+
+
+def _imgs(n=4, s=32, seed=0):
+    return (np.random.default_rng(seed)
+            .integers(0, 255, (n, s, s, 3), np.uint8))
+
+
+def test_train_pipeline_shapes_and_range():
+    pipe = jax.jit(preprocess.make_train_pipeline(
+        48, (0.5,) * 3, (0.25,) * 3, out_dtype=jnp.float32))
+    out = pipe(jax.random.PRNGKey(0), jnp.asarray(_imgs()))
+    assert out.shape == (4, 48, 48, 3)
+    # normalized range for [0,1] input with mean .5 std .25: [-2, 2]
+    assert float(out.min()) >= -2.01 and float(out.max()) <= 2.01
+
+
+def test_pipeline_deterministic_per_key():
+    pipe = jax.jit(preprocess.make_train_pipeline(
+        32, (0.5,) * 3, (0.25,) * 3, use_autoaug=True,
+        autoaug_policy="cifar10", out_dtype=jnp.float32))
+    x = jnp.asarray(_imgs())
+    a = pipe(jax.random.PRNGKey(7), x)
+    b = pipe(jax.random.PRNGKey(7), x)
+    c = pipe(jax.random.PRNGKey(8), x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_autoaugment_all_policies_jit():
+    x = jnp.asarray(_imgs()).astype(jnp.float32) / 255.0
+    for policy in ("imagenet", "cifar10", "svhn"):
+        out = jax.jit(lambda r, x: auto_augment_batch(r, x, policy))(
+            jax.random.PRNGKey(0), x)
+        assert out.shape == x.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+
+
+def test_randaugment_jit():
+    x = jnp.asarray(_imgs()).astype(jnp.float32) / 255.0
+    out = jax.jit(rand_augment_batch)(jax.random.PRNGKey(0), x)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_color_ops_semantics():
+    img = jnp.asarray(_imgs(1)[0]).astype(jnp.float32) / 255.0
+    # posterize to 1 bit leaves only 0 or 128/255 per channel value
+    p = posterize(img, jnp.asarray(1.0))
+    assert set(np.unique(np.round(np.asarray(p) * 255))) <= {0.0, 128.0}
+    # solarize threshold 0 inverts everything
+    s = solarize(img, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(s), 1.0 - np.asarray(img),
+                               atol=1e-6)
+    # autocontrast stretches to [0, 1]
+    ac = autocontrast(img * 0.5 + 0.25)
+    assert float(ac.min()) < 0.02 and float(ac.max()) > 0.98
+    # equalize flattens the histogram (roughly): output uses wide range
+    eq = equalize(img)
+    assert float(eq.max()) - float(eq.min()) > 0.9
+
+
+def test_rotate_identity_at_zero():
+    img = jnp.asarray(_imgs(1)[0]).astype(jnp.float32) / 255.0
+    out = rotate(img, jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_cutmix_mixes_labels():
+    x = jnp.asarray(_imgs(8)).astype(jnp.float32) / 255.0
+    y = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    mixed, y_mixed, lam = preprocess.cutmix(jax.random.PRNGKey(3), x, y)
+    assert mixed.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y_mixed.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_cutout_zeroes_patch():
+    x = jnp.ones((2, 32, 32, 3), jnp.float32)
+    out = preprocess.cutout(jax.random.PRNGKey(0), x, size=16, fill=0.0)
+    frac = float(jnp.mean((out == 0).astype(jnp.float32)))
+    assert 0.0 < frac < 0.5
