@@ -56,22 +56,24 @@ def main():
         "mask": jnp.zeros((n_cls,), jnp.float32),
     }
 
-    # warmup / compile (host-sync via value fetch: block_until_ready alone
-    # can return early through the experimental axon tunnel)
+    # warmup / compile. Timing notes for this environment: the TPU is
+    # reached through a tunnel where (a) block_until_ready can return
+    # before execution completes, and (b) each host value fetch costs
+    # ~25 ms. So: pipeline a chain of steps (each depends on the previous
+    # state) and force the whole chain with ONE final value fetch.
+    state, metrics = step(state, batch)
+    float(metrics["loss"])  # full round-trip: ensures compile + exec done
     state, metrics = step(state, batch)
     float(metrics["loss"])
 
-    iters = 30
-    step_times = []
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        t1 = time.perf_counter()
         state, metrics = step(state, batch)
-        _ = float(metrics["loss"])  # forces full device round-trip
-        step_times.append(time.perf_counter() - t1)
+    _ = float(metrics["loss"])  # forces the full dependent chain
     dt = time.perf_counter() - t0
 
-    step_ms = float(np.median(step_times)) * 1e3
+    step_ms = dt / iters * 1e3
     samples_per_sec = batch_size * iters / dt
 
     # Reference-eager estimate (PyTorch ViT-B/16 LoRA online step, bs=64,

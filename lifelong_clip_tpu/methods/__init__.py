@@ -13,13 +13,17 @@ def get_method(name: str):
         "adapter-clip": AdapterCLIP,
         "moe-clip": AdapterCLIP,
     }
-    # methods still to be wired into the TPU engine are registered lazily;
-    # see SURVEY.md §2.2 for the full inventory being rebuilt.
-    try:
-        from .er_baseline import ER, FT
-        registry.update({"er": ER, "Finetuning": FT})
-    except ImportError:
-        pass
+    from .clib import CLIB
+    from .er_baseline import ER, FT
+    from .ewcpp import EWCpp
+    from .lwf import LwF
+    from .maple import MaPLe
+    from .mvp_clip import CLIP_MVP
+    from .rainbow_memory import RM
+
+    registry.update({"er": ER, "Finetuning": FT, "lwf": LwF,
+                     "ewc++": EWCpp, "clib": CLIB, "rm": RM,
+                     "maple": MaPLe, "mvp-clip": CLIP_MVP})
     if name not in registry:
         raise NotImplementedError(
             f"method {name!r} not available yet; have: {sorted(registry)}")

@@ -98,7 +98,7 @@ class AdapterCLIP(OnlineTrainer):
         images, labels, _ = pad_batch(images, labels, step_bs)
 
         if cfg.visible_classes == "batch":
-            tokens, mask, y = self.vocab.batch_table(labels,
+            tokens, mask, y, _ = self.vocab.batch_table(labels,
                                                      self.step_capacity)
         else:  # all exposed classes visible
             tokens = self.vocab.token_table

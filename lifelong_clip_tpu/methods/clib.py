@@ -1,0 +1,200 @@
+"""CLIB — memory-only training with sample-wise importance + adaptive LR.
+
+Parity target: reference ``methods/clib.py``: training batches come from
+episodic memory only; memory replacement evicts the sample whose removal
+costs least (loss-decrease bookkeeping, ``update_memory():66-87``); a
+per-sample loss history over the whole memory is EMA-updated periodically
+(``samplewise_loss_update():216-244``); and the LR alternates between a
+high/low pair, with a Welch t-test deciding geometric re-centering
+(``adaptive_lr():135-195`` — host-side here, as it is O(steps) scalar
+work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from scipy.stats import ttest_ind
+
+from ..ops import preprocess
+from ..utils.train_utils import make_schedule
+from .base import pad_batch
+from .engine import TrainState
+from .er_baseline import ER, head_forward
+
+
+class CLIB(ER):
+
+    ema_ratio = 0.90
+
+    def setup_model(self):
+        # adaptive LR needs a mutable learning rate -> inject_hyperparams
+        cfg = self.cfg
+        self._lr_high = cfg.lr
+        self._lr_low = cfg.lr * getattr(cfg, "lr_step", 0.95) ** \
+            getattr(cfg, "lr_length", 10)
+        super().setup_model()
+
+        fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
+                                compute_dtype=self.compute_dtype)
+        pipeline = preprocess.make_train_pipeline(
+            self.clip_cfg.image_size, self.train_dataset.mean,
+            self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            out_dtype=self.compute_dtype)
+
+        import optax as _optax
+        self.tx = _optax.inject_hyperparams(_optax.adamw)(
+            learning_rate=cfg.lr)
+        self.state = TrainState.create(trainable=self.state.trainable,
+                                       frozen=self.params, tx=self.tx,
+                                       rng=self.next_rng())
+
+        def step(state: TrainState, batch):
+            rng, aug_rng = jax.random.split(state.rng)
+            images = pipeline(aug_rng, batch["images"])
+
+            def objective(trainable):
+                logits, _, _ = fwd(state.frozen, trainable, images, None)
+                logits = logits + batch["mask"][None, :]
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["labels"])
+                acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                batch["labels"]).astype(jnp.float32))
+                return losses.mean(), (acc, losses)
+
+            (loss, (acc, losses)), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.trainable)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return state.replace(step=state.step + 1, trainable=trainable,
+                                 opt_state=opt_state, rng=rng), \
+                {"loss": loss, "acc": acc, "losses": losses}
+
+        self._clib_step = jax.jit(step)
+
+        @jax.jit
+        def sample_losses(frozen, trainable, images_u8, labels, mask):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = preprocess.resize_bilinear(x, self.clip_cfg.image_size)
+            x = preprocess.normalize(x, self.train_dataset.mean,
+                                     self.train_dataset.std)
+            logits, _, _ = fwd(frozen, trainable,
+                               x.astype(self.compute_dtype), None)
+            logits = logits + mask[None, :]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels)
+
+        self._sample_losses = sample_losses
+
+        # adaptive LR machinery (reference clib.py:135-195)
+        self._lr_is_high = True
+        self._high_hist, self._low_hist = [], []
+        self._prev_losses = None
+        self._train_count = 0
+        self._set_lr(self._lr_high)
+
+    def _set_lr(self, lr: float):
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+
+    # -- hot loop ---------------------------------------------------------
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        # per-sample loss of incoming samples drives memory insertion
+        step_imgs, step_labels, _ = pad_batch(images, labels, cfg.batchsize)
+        mask = jnp.asarray(self.vocab.logit_mask())
+        inc_losses = np.asarray(self._sample_losses(
+            self.state.frozen, self.state.trainable,
+            jnp.asarray(step_imgs),
+            jnp.asarray(self.vocab.remap(step_labels), jnp.int32), mask))
+        for i, (idx, lab) in enumerate(zip(indices, labels)):
+            self.memory.clib_update(int(idx), int(lab),
+                                    sample_loss=float(inc_losses[i]))
+
+        # memory-only training batches
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            mem_idx = self.memory.sample(cfg.batchsize)
+            if len(mem_idx) == 0:
+                return {}
+            m_images, m_labels = self.train_dataset.gather(mem_idx)
+            m_images, m_labels, _ = pad_batch(m_images, m_labels,
+                                              cfg.batchsize)
+            batch = {"images": jnp.asarray(m_images),
+                     "labels": jnp.asarray(self.vocab.remap(m_labels),
+                                           jnp.int32),
+                     "mask": mask}
+            self.state, stats = self._clib_step(self.state, batch)
+            self._samplewise_loss_update()
+            self._adaptive_lr()
+        stats = {k: v for k, v in stats.items() if k != "losses"}
+        return stats
+
+    def _samplewise_loss_update(self, batch_cap: int = 256):
+        """EMA-refresh the loss history over the whole memory
+        (reference samplewise_loss_update, clib.py:216-244)."""
+        n = len(self.memory)
+        if n == 0:
+            return
+        idx = self.memory.ordered_indices()
+        labels = np.asarray(self.memory.labels)
+        mask = jnp.asarray(self.vocab.logit_mask())
+        all_losses = np.zeros((n,), np.float64)
+        bs = min(batch_cap, max(self.cfg.batchsize, 1))
+        for lo in range(0, n, bs):
+            chunk = idx[lo:lo + bs]
+            imgs, _ = self.train_dataset.gather(chunk)
+            labs = labels[lo:lo + bs]
+            imgs, labs, valid = pad_batch(imgs, labs, bs)
+            losses = np.asarray(self._sample_losses(
+                self.state.frozen, self.state.trainable, jnp.asarray(imgs),
+                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask))
+            all_losses[lo:lo + valid] = losses[:valid]
+        self.memory.update_loss_history(np.arange(n), all_losses,
+                                        ema=1 - self.ema_ratio)
+        self._last_mem_losses = all_losses
+
+    def _adaptive_lr(self, significance: float = 0.05):
+        cfg = self.cfg
+        period = getattr(cfg, "lr_period", 10) or 10
+        min_iter = getattr(cfg, "lr_length", 10) or 10
+        self._train_count += 1
+        if self._train_count % period != 0 or \
+                getattr(self, "_last_mem_losses", None) is None:
+            return
+        cur = self._last_mem_losses
+        if self._prev_losses is not None and self._train_count > 20:
+            k = min(len(self._prev_losses), len(cur))
+            decrease = float(np.mean(self._prev_losses[:k] - cur[:k]))
+            (self._high_hist if self._lr_is_high
+             else self._low_hist).append(decrease)
+            if len(self._high_hist) > min_iter:
+                del self._high_hist[0]
+            if len(self._low_hist) > min_iter:
+                del self._low_hist[0]
+        self._prev_losses = cur
+        self._lr_is_high = not self._lr_is_high
+        self._set_lr(self._lr_high if self._lr_is_high else self._lr_low)
+
+        if (len(self._high_hist) == len(self._low_hist)
+                and len(self._high_hist) >= min_iter):
+            _, p = ttest_ind(self._low_hist, self._high_hist,
+                             equal_var=False, alternative="greater")
+            step = getattr(cfg, "lr_step", 0.95)
+            if p < significance:      # low LR decreased loss more
+                self._lr_high = self._lr_low
+                self._lr_low *= step
+            elif p > 1 - significance:  # high LR wins
+                self._lr_low = self._lr_high
+                self._lr_high /= step
+            else:
+                return
+            self._high_hist, self._low_hist = [], []
+            self._set_lr(self._lr_high if self._lr_is_high
+                         else self._lr_low)

@@ -1,0 +1,136 @@
+"""EWC++ — online Fisher-information regularization.
+
+Parity target: reference ``methods/ewcpp.py``: each online step runs two
+updates (plain CE, then CE + quadratic penalty towards the last task's
+parameters weighted by Fisher importance), maintains a running Fisher EMA
+(``update_fisher_and_score():161-187``) and a path-integral score; at task
+end the current Fisher becomes the importance and parameters are
+snapshotted (``online_after_task():135-158``, online_reg single slot).
+
+The whole double-update + Fisher bookkeeping is ONE jitted step threading
+an explicit ``ewc_state`` pytree — no retain_graph / .grad plumbing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import preprocess
+from .base import pad_batch
+from .engine import TrainState
+from .er_baseline import ER, head_forward
+
+
+class EWCpp(ER):
+
+    alpha = 0.5          # fisher EMA coefficient (reference default)
+    eps = 1e-3
+
+    def setup_model(self):
+        super().setup_model()
+        cfg = self.cfg
+        self.reg_coef = getattr(cfg, "reg_coef", 100.0) or 100.0
+        zeros = jax.tree.map(jnp.zeros_like, self.state.trainable)
+        self.ewc_state = {
+            "fisher": zeros,
+            "score": jax.tree.map(jnp.zeros_like, self.state.trainable),
+            "importance": jax.tree.map(jnp.zeros_like,
+                                       self.state.trainable),
+            "task_param": self.state.trainable,
+            "has_reg": jnp.zeros((), jnp.float32),  # 0 until first task end
+        }
+
+        fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
+                                compute_dtype=self.compute_dtype)
+        pipeline = preprocess.make_train_pipeline(
+            self.clip_cfg.image_size, self.train_dataset.mean,
+            self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            out_dtype=self.compute_dtype)
+        reg_coef = self.reg_coef
+        alpha, eps = self.alpha, self.eps
+
+        def ce_loss(trainable, images, batch):
+            logits, _, _ = fwd(self.params, trainable, images, None)
+            logits = logits + batch["mask"][None, :]
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["labels"]).mean()
+            acc = jnp.mean((jnp.argmax(logits, -1) ==
+                            batch["labels"]).astype(jnp.float32))
+            return loss, acc
+
+        def step(state: TrainState, batch, ewc):
+            rng, aug_rng = jax.random.split(state.rng)
+            images = pipeline(aug_rng, batch["images"])
+
+            # pass 1: plain CE update
+            (loss1, _), grads1 = jax.value_and_grad(
+                ce_loss, has_aux=True)(state.trainable, images, batch)
+            up1, opt1 = self.tx.update(grads1, state.opt_state,
+                                       state.trainable)
+            params_mid = optax.apply_updates(state.trainable, up1)
+
+            # pass 2: CE + EWC penalty at the updated point
+            def reg_objective(trainable):
+                loss, acc = ce_loss(trainable, images, batch)
+                penalty = jax.tree.map(
+                    lambda imp, p, p0: jnp.sum(imp * (p - p0) ** 2),
+                    ewc["importance"], trainable, ewc["task_param"])
+                reg = sum(jax.tree.leaves(penalty))
+                return loss + reg_coef * ewc["has_reg"] * reg, acc
+
+            (loss2, acc), grads2 = jax.value_and_grad(
+                reg_objective, has_aux=True)(params_mid)
+            up2, opt2 = self.tx.update(grads2, opt1, params_mid)
+            params_new = optax.apply_updates(params_mid, up2)
+
+            # fisher EMA + path-integral score (reference :161-187)
+            def upd_score(s, g1, g2, pn, pm, f):
+                denom = 0.5 * f * (pn - pm) ** 2 + eps
+                return s + (g1 - g2) * (pn - pm) / denom
+
+            score = jax.tree.map(upd_score, ewc["score"], grads1, grads2,
+                                 params_new, params_mid, ewc["fisher"])
+            fisher = jax.tree.map(
+                lambda f, g: jnp.where(jnp.all(f == 0), g ** 2,
+                                       (1 - alpha) * f + alpha * g ** 2),
+                ewc["fisher"], grads2)
+            new_ewc = dict(ewc, fisher=fisher, score=score)
+            new_state = state.replace(step=state.step + 2,
+                                      trainable=params_new,
+                                      opt_state=opt2, rng=rng)
+            return new_state, new_ewc, {"loss": loss2, "acc": acc}
+
+        self._ewc_step = jax.jit(step)
+
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        images, labels = self.replay_concat(images, labels)
+        step_bs = cfg.batchsize * 2 if cfg.memory_size > 0 else cfg.batchsize
+        images, labels, _ = pad_batch(images, labels, step_bs)
+        y = self.vocab.remap(labels)
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(y, jnp.int32),
+                 "mask": jnp.asarray(self.vocab.logit_mask())}
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            self.state, self.ewc_state, stats = self._ewc_step(
+                self.state, batch, self.ewc_state)
+        self.update_memory(indices, labels[:len(indices)])
+        return stats
+
+    def online_after_task(self, task_id):
+        # importance <- current fisher; snapshot params; reset score
+        # (reference online_after_task + calculate_importance)
+        self.ewc_state = dict(
+            self.ewc_state,
+            importance=self.ewc_state["fisher"],
+            task_param=self.state.trainable,
+            score=jax.tree.map(jnp.zeros_like, self.ewc_state["score"]),
+            has_reg=jnp.ones((), jnp.float32),
+        )

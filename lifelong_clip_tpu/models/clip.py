@@ -115,6 +115,7 @@ def transformer(x,
                 peft_cfg: Optional[PEFTConfig] = None,
                 peft=None,
                 layer_prompts=None,
+                layer_prompt_valid=None,
                 attn_impl: str = "xla"):
     """Scan the stacked residual blocks over the depth axis.
 
@@ -122,7 +123,14 @@ def transformer(x,
     (leading dim = n_layers). ``layer_prompts`` of shape (L, B, P, D) —
     or (L, P, D), broadcast over batch — are consumed as KV-side prefix
     tokens per layer (prompt semantics of
-    ``PromptedMultiheadAttention``, reference model.py:265-293).
+    ``PromptedMultiheadAttention``, reference model.py:265-293; also
+    equivalent to MVP's append-then-truncate prompt_tuning,
+    ``models/mvp_clip.py:158-175``, since truncated prompt-token outputs
+    only influence retained tokens through attention KV).
+
+    ``layer_prompt_valid`` (L, P) bool marks which prefix slots are live
+    per layer — this lets pools with different prompt lengths per layer
+    share one padded scan (invalid slots are attention-masked out).
     """
     xs = {"blk": blocks}
     if peft is not None:
@@ -133,9 +141,20 @@ def transformer(x,
                 layer_prompts[:, None],
                 (layer_prompts.shape[0], x.shape[0]) + layer_prompts.shape[1:])
         xs["prompts"] = layer_prompts
+        if layer_prompt_valid is not None:
+            t = x.shape[1]
+            p = layer_prompts.shape[2]
+            prefix_mask = jnp.where(layer_prompt_valid, 0.0, -jnp.inf)
+            full = jnp.concatenate(
+                [prefix_mask, jnp.zeros((prefix_mask.shape[0], t))], axis=1)
+            # (L, 1, 1, P + T): broadcast over batch, heads, queries
+            xs["pmask"] = full[:, None, None, :]
 
     def body(h, sl):
-        h = _block(h, sl["blk"], n_heads, mask, peft_cfg, sl.get("peft"),
+        m = mask
+        if "pmask" in sl:
+            m = sl["pmask"] if m is None else m + sl["pmask"]
+        h = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
                    sl.get("prompts"), attn_impl)
         return h, None
 

@@ -1,0 +1,179 @@
+"""MVP on CLIP — mask + visual prompt pools, functionally.
+
+Parity target: reference ``models/mvp_clip.py`` (CLIP_MVP):
+  * frozen CLIP; learnables are a key pool (E, 768), a per-prompt class
+    mask (E, num_classes) init −1, a shared g-prompt and a per-task e-prompt
+    pool (``__init__:69-104``);
+  * query = CLS feature of a promptless no-grad pass (``forward_features:
+    196-218``; ``use_last_layer`` default True → full depth);
+  * e-prompt selection: smallest cosine distance to keys, optionally scaled
+    by usage counts (contrastive mode), count buffer updated by bincount
+    (``:224-254``);
+  * prompt injection: g-prompts at layers (0,1) ×5 tokens, selected
+    e-prompt at layers (2,3,4) ×20 tokens, appended then truncated per
+    block (``prompt_tuning:158-175``) — realized here as masked KV-prefix
+    slots inside the block scan (equivalent for retained tokens);
+  * head: cosine logits × logit_scale, per-sample mask ``sigmoid(m)·2``
+    (``:263-264``), similarity loss (contrastive or mean distance).
+
+The trainer-side MVP losses (AFS/GSF via per-sample feature grads) live in
+``methods/mvp_clip.py`` using ``jax.vmap(jax.grad)`` instead of the
+reference's backward-in-a-loop (``methods/mvp_clip.py:204-238``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPConfig
+from . import clip as clip_fns
+
+_P = jax.lax.Precision.HIGHEST
+
+POS_G = (0, 1)
+POS_E = (2, 3, 4)
+LEN_G = 5
+LEN_E = 20
+
+
+def init_mvp_params(rng, clip_cfg: CLIPConfig, *, e_pool: int,
+                    num_classes: int, len_g: int = LEN_G,
+                    len_e: int = LEN_E):
+    """Learnable tree (reference __init__:82-104): key randn, mask −1,
+    prompts randn."""
+    d = clip_cfg.vision_width
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "key": jax.random.normal(k1, (e_pool, d), jnp.float32),
+        "mask": jnp.full((e_pool, num_classes), -1.0, jnp.float32),
+        "g_prompts": jax.random.normal(
+            k2, (1, len(POS_G) * len_g, d), jnp.float32),
+        "e_prompts": jax.random.normal(
+            k3, (e_pool, len(POS_E) * len_e, d), jnp.float32),
+    }
+
+
+def _cos(a, b, eps=1e-8):
+    a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + eps)
+    b = b / (jnp.linalg.norm(b, axis=-1, keepdims=True) + eps)
+    return jnp.sum(a * b, axis=-1)
+
+
+def _vit_prelude(frozen, images, cfg: CLIPConfig, compute_dtype):
+    v = clip_fns._cast_tree(frozen["vision"], compute_dtype)
+    x = clip_fns.extract_patches(images.astype(compute_dtype),
+                                 cfg.patch_size)
+    x = jnp.einsum("bnp,pd->bnd", x, v["patch_kernel"],
+                   preferred_element_type=jnp.float32,
+                   precision=_P).astype(compute_dtype)
+    cls = jnp.broadcast_to(v["class_embedding"],
+                           (x.shape[0], 1, cfg.vision_width))
+    x = jnp.concatenate([cls.astype(compute_dtype), x], axis=1)
+    x = x + v["pos_embed"].astype(compute_dtype)
+    return clip_fns.layer_norm(x, v["ln_pre"]), v
+
+
+def _layer_prompt_tensors(mvp, sel_e, batch: int, layers: int,
+                          len_g: int, len_e: int, dtype,
+                          pos_g=POS_G, pos_e=POS_E):
+    """Build the padded (L, B, P_max, D) prompt tokens + (L, P_max) valid
+    mask for the scan: g slices at pos_g, selected e slices at pos_e.
+    Positions beyond the tower depth are dropped (small test towers)."""
+    d = mvp["g_prompts"].shape[-1]
+    p_max = max(len_g, len_e)
+    vals = jnp.zeros((layers, batch, p_max, d), dtype)
+    valid = np.zeros((layers, p_max), bool)
+    g = mvp["g_prompts"][0].reshape(len(pos_g), len_g, d)
+    for i, layer in enumerate(pos_g):
+        if layer >= layers:
+            continue
+        vals = vals.at[layer, :, :len_g].set(
+            jnp.broadcast_to(g[i][None], (batch, len_g, d)).astype(dtype))
+        valid[layer, :len_g] = True
+    e = sel_e.reshape(batch, len(pos_e), len_e, d)
+    for i, layer in enumerate(pos_e):
+        if layer >= layers:
+            continue
+        vals = vals.at[layer, :, :len_e].set(
+            e[:, i].astype(dtype))
+        valid[layer, :len_e] = True
+    return vals, jnp.asarray(valid)
+
+
+def mvp_features(frozen,
+                 mvp,
+                 count,
+                 images,
+                 cfg: CLIPConfig,
+                 *,
+                 use_contrastiv: bool = False,
+                 use_last_layer: bool = True,
+                 train: bool = True,
+                 compute_dtype=jnp.bfloat16):
+    """Returns (image_feats, per-sample class mask, similarity_loss,
+    new_count, selected idx)."""
+    x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
+    b = x.shape[0]
+
+    # promptless query pass (no grad; reference forward_features:196-218)
+    q = jax.lax.stop_gradient(x)
+    q_blocks = v["blocks"]
+    if not use_last_layer:
+        q_blocks = jax.tree.map(lambda a: a[:-1], q_blocks)
+    q = clip_fns.transformer(jax.lax.stop_gradient(q), q_blocks,
+                             cfg.vision_heads)
+    query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
+    query = jax.lax.stop_gradient(query)
+
+    # e-prompt selection (reference :224-254)
+    distance = 1.0 - _cos(query[:, None, :].astype(jnp.float32),
+                          mvp["key"][None, :, :])          # (B, E)
+    mass = (count + 1.0) if use_contrastiv else jnp.ones_like(count)
+    scaled = distance * mass[None, :]
+    idx = jnp.argmin(scaled, axis=-1)                       # selection_size=1
+    sel_dist = jnp.take_along_axis(distance, idx[:, None], axis=1)[:, 0]
+    sel_e = mvp["e_prompts"][idx]                           # (B, e_size, D)
+    sel_mask = mvp["mask"][idx]                             # (B, C)
+
+    if use_contrastiv:
+        key_dist = 1.0 - _cos(mvp["key"][:, None, :],
+                              mvp["key"][None, :, :])       # (E, E)
+        kd = key_dist[idx] / mass[idx][:, None]             # (B, E)
+        pos = jnp.exp(kd).mean()
+        anchor = jnp.exp(sel_dist / mass[idx]).mean()
+        similarity_loss = -jnp.log(pos / (anchor + pos) + 1e-6)
+    else:
+        similarity_loss = sel_dist.mean()
+
+    new_count = count + jnp.bincount(
+        idx, length=count.shape[0]).astype(count.dtype) if train else count
+
+    vals, valid = _layer_prompt_tensors(
+        mvp, sel_e, b, cfg.vision_layers, LEN_G, LEN_E, compute_dtype)
+    h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
+                             layer_prompts=vals, layer_prompt_valid=valid)
+    pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
+    img = jnp.einsum("bd,de->be", pooled, v["proj"],
+                     preferred_element_type=jnp.float32, precision=_P)
+    img = img.astype(compute_dtype)
+    cls_mask = jax.nn.sigmoid(sel_mask.astype(jnp.float32)) * 2.0
+    return img, cls_mask, similarity_loss, new_count, idx
+
+
+def mvp_head(frozen, img_feats, txt_feats, cls_mask=None, class_mask=None,
+             use_mask: bool = True):
+    """Cosine head + per-sample prompt mask + exposure mask
+    (reference forward_head:266-280 and trainer masking)."""
+    img = clip_fns.normalize(img_feats).astype(jnp.float32)
+    txt = clip_fns.normalize(txt_feats).astype(jnp.float32)
+    scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
+    logits = scale * jnp.einsum("be,ce->bc", img, txt, precision=_P)
+    if use_mask and cls_mask is not None:
+        logits = logits * cls_mask[:, :logits.shape[1]]
+    if class_mask is not None:
+        logits = logits + class_mask[None, :]
+    return logits

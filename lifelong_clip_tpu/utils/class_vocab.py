@@ -83,8 +83,10 @@ class ClassVocabulary:
         reference methods/adapter_clip.py:53-61).
 
         Returns (tokens (capacity, ctx), mask (capacity,), remapped labels
-        into the batch-local list). Classes are ordered by first occurrence
-        in the exposed list for determinism.
+        into the batch-local list, exposed-slot ids per batch slot
+        (capacity,) with -1 padding — for consumers indexed in exposure
+        order, e.g. MVP's per-prompt class mask). Classes are ordered by
+        first occurrence in the exposed list for determinism.
         """
         uniq = sorted({int(y) for y in np.asarray(batch_labels)},
                       key=lambda y: self._pos[y])
@@ -93,14 +95,16 @@ class ClassVocabulary:
                 f"batch has {len(uniq)} classes > capacity {capacity}")
         tokens = np.zeros((capacity, self.context_length), np.int32)
         mask = np.full((capacity,), -np.inf, np.float32)
+        exposed_slots = np.full((capacity,), -1, np.int64)
         local = {}
         for i, y in enumerate(uniq):
             tokens[i] = self.token_table[self._pos[y]]
             mask[i] = 0.0
+            exposed_slots[i] = self._pos[y]
             local[y] = i
         labels = np.asarray([local[int(y)] for y in
                              np.asarray(batch_labels)], np.int64)
-        return tokens, mask, labels
+        return tokens, mask, labels, exposed_slots
 
     # -- checkpoint state ----------------------------------------------------
     def state_dict(self):

@@ -54,13 +54,15 @@ class _TinyMixin:
                                     jax.random.PRNGKey(0), TINY), TINY
 
         self._orig_build = orig
-        # patch the symbol each trainer module imported
-        import lifelong_clip_tpu.methods.adapter_clip as ac
-        import lifelong_clip_tpu.methods.continual_clip as cc
-        import lifelong_clip_tpu.methods.er_baseline as er
-        ac.build_clip = tiny_build
-        cc.build_clip = tiny_build
-        er.build_clip = tiny_build
+        # patch the symbol in every loaded method module (each imports
+        # build_clip by name); missing one silently runs the full-size
+        # ViT-B/16 on CPU and takes minutes
+        import sys
+        M.build_clip = tiny_build
+        for name, mod in list(sys.modules.items()):
+            if (name.startswith("lifelong_clip_tpu.methods.")
+                    and hasattr(mod, "build_clip")):
+                mod.build_clip = tiny_build
 
 
 class TinyAdapterCLIP(_TinyMixin, AdapterCLIP):

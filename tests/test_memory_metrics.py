@@ -105,7 +105,7 @@ def test_class_vocab_exposure_and_remap():
     mask = v.logit_mask()
     assert np.isfinite(mask[:2]).all() and np.isinf(mask[2:]).all()
     # batch-visible table
-    tokens, m, y = v.batch_table([0, 0, 2], capacity=3)
+    tokens, m, y, gids = v.batch_table([0, 0, 2], capacity=3)
     assert tokens.shape == (3, 77)
     np.testing.assert_array_equal(y, [1, 1, 0])
     assert np.isfinite(m[:2]).all() and np.isinf(m[2]).all()
