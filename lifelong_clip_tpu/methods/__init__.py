@@ -19,11 +19,16 @@ def get_method(name: str):
     from .lwf import LwF
     from .maple import MaPLe
     from .mvp_clip import CLIP_MVP
+    from .proto_clip import Trainer_ProtoCLIP
     from .rainbow_memory import RM
+    from .vit_prompt_methods import MVP, DualPrompt, L2P
 
     registry.update({"er": ER, "Finetuning": FT, "lwf": LwF,
                      "ewc++": EWCpp, "clib": CLIB, "rm": RM,
-                     "maple": MaPLe, "mvp-clip": CLIP_MVP})
+                     "maple": MaPLe, "mvp-clip": CLIP_MVP,
+                     "adapter-clip-proto_prompt": Trainer_ProtoCLIP,
+                     "template": Trainer_ProtoCLIP,
+                     "l2p": L2P, "dualprompt": DualPrompt, "mvp": MVP})
     if name not in registry:
         raise NotImplementedError(
             f"method {name!r} not available yet; have: {sorted(registry)}")

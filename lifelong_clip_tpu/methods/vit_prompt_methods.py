@@ -1,0 +1,369 @@
+"""L2P and DualPrompt trainers (ViT prompt-tuning family).
+
+Parity targets: reference ``methods/`` usage of ``models/l2p.py`` /
+``models/dualprompt.py`` — frozen backbone, trainable prompt pools + head,
+loss = CE + lambda * mean key-similarity, frequency counters updated per
+step, -inf masking over unexposed classes.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import PEFTConfig
+from ..models import build_clip
+from ..models import vit_prompt as vp
+from ..models.init import param_count
+from ..ops import preprocess
+from ..utils.train_utils import make_optimizer
+from .base import OnlineTrainer, pad_batch
+from .engine import TrainState
+
+log = logging.getLogger("lifelong_clip_tpu")
+
+
+class L2P(OnlineTrainer):
+
+    pool_size = 10
+    selection_size = 5
+    prompt_len = 5
+    lambd = 0.5
+    diversified = True
+
+    def setup_model(self):
+        cfg = self.cfg
+        self.params, self.clip_cfg = build_clip(
+            cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
+        self.peft_cfg = PEFTConfig(method="l2p")
+        self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        d = self.clip_cfg.vision_width
+        c = self.vocab.max_classes
+        self.trainable0 = {
+            "pool": vp.init_prompt_pool(self.next_rng(), self.pool_size,
+                                        self.prompt_len, d),
+            "head": {"w": jnp.zeros((d, c), jnp.float32),
+                     "b": jnp.zeros((c,), jnp.float32)},
+        }
+        self.frequency = jnp.ones((self.pool_size,), jnp.float32)
+        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
+                                 sched_name=cfg.sched_name)
+        self.state = TrainState.create(trainable=self.trainable0,
+                                       frozen=self.params, tx=self.tx,
+                                       rng=self.next_rng())
+        log.info("L2P trainable params: %d", param_count(self.trainable0))
+
+        pipeline = preprocess.make_train_pipeline(
+            self.clip_cfg.image_size, self.train_dataset.mean,
+            self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            out_dtype=self.compute_dtype)
+        sel, plen, lam = self.selection_size, self.prompt_len, self.lambd
+        div, clip_cfg, dt = self.diversified, self.clip_cfg, \
+            self.compute_dtype
+
+        def step(state: TrainState, batch, frequency):
+            rng, aug_rng = jax.random.split(state.rng)
+            images = pipeline(aug_rng, batch["images"])
+
+            def objective(trainable):
+                logits, sim, counts = vp.l2p_forward(
+                    state.frozen, trainable, images, clip_cfg,
+                    frequency=frequency, selection_size=sel,
+                    prompt_len=plen, train=True, diversified=div,
+                    compute_dtype=dt)
+                logits = logits + batch["mask"][None, :]
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["labels"]).mean()
+                acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                batch["labels"]).astype(jnp.float32))
+                return ce + lam * sim, (acc, counts)
+
+            (loss, (acc, counts)), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.trainable)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            new_state = state.replace(step=state.step + 1,
+                                      trainable=trainable,
+                                      opt_state=opt_state, rng=rng)
+            return new_state, frequency + counts, \
+                {"loss": loss, "acc": acc}
+
+        self._step = jax.jit(step)
+
+        @jax.jit
+        def predict_fn(frozen, trainable, images_u8, frequency, mask):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = preprocess.resize_bilinear(x, clip_cfg.image_size)
+            x = preprocess.normalize(x, self.train_dataset.mean,
+                                     self.train_dataset.std)
+            logits, _, _ = vp.l2p_forward(
+                frozen, trainable, x.astype(dt), clip_cfg,
+                frequency=frequency, selection_size=sel, prompt_len=plen,
+                train=False, diversified=div, compute_dtype=dt)
+            return jnp.argmax(logits + mask[None, :], axis=-1)
+
+        self._predict_fn = predict_fn
+
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        images, labels, _ = pad_batch(images, labels, cfg.batchsize)
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(self.vocab.remap(labels), jnp.int32),
+                 "mask": jnp.asarray(self.vocab.logit_mask())}
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            self.state, self.frequency, stats = self._step(
+                self.state, batch, self.frequency)
+        return stats
+
+    def prepare_eval(self):
+        self._mask = jnp.asarray(self.vocab.logit_mask())
+
+    def predict(self, images):
+        return self._predict_fn(self.state.frozen, self.state.trainable,
+                                jnp.asarray(images), self.frequency,
+                                self._mask)
+
+
+class DualPrompt(OnlineTrainer):
+
+    pos_g = (0, 1)
+    pos_e = (2, 3, 4)
+    len_g = 5
+    len_e = 20
+    lambd = 1.0
+
+    def setup_model(self):
+        cfg = self.cfg
+        self.params, self.clip_cfg = build_clip(
+            cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
+        self.peft_cfg = PEFTConfig(method="dualprompt")
+        self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        d = self.clip_cfg.vision_width
+        c = self.vocab.max_classes
+        e_pool = cfg.stream.n_tasks
+        self.trainable0 = {
+            "g_pool": vp.init_prompt_pool(
+                self.next_rng(), 1, len(self.pos_g) * self.len_g, d),
+            "e_pool": vp.init_prompt_pool(
+                self.next_rng(), e_pool, len(self.pos_e) * self.len_e, d),
+            "head": {"w": jnp.zeros((d, c), jnp.float32),
+                     "b": jnp.zeros((c,), jnp.float32)},
+        }
+        self.e_frequency = jnp.ones((e_pool,), jnp.float32)
+        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
+                                 sched_name=cfg.sched_name)
+        self.state = TrainState.create(trainable=self.trainable0,
+                                       frozen=self.params, tx=self.tx,
+                                       rng=self.next_rng())
+        log.info("DualPrompt trainable params: %d",
+                 param_count(self.trainable0))
+
+        pipeline = preprocess.make_train_pipeline(
+            self.clip_cfg.image_size, self.train_dataset.mean,
+            self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            out_dtype=self.compute_dtype)
+        clip_cfg, dt, lam = self.clip_cfg, self.compute_dtype, self.lambd
+        pos_g, pos_e = self.pos_g, self.pos_e
+        len_g, len_e = self.len_g, self.len_e
+
+        def step(state: TrainState, batch, e_frequency):
+            rng, aug_rng = jax.random.split(state.rng)
+            images = pipeline(aug_rng, batch["images"])
+
+            def objective(trainable):
+                logits, sim, counts = vp.dualprompt_forward(
+                    state.frozen, trainable, images, clip_cfg,
+                    e_frequency=e_frequency, pos_g=pos_g, pos_e=pos_e,
+                    len_g=len_g, len_e=len_e, train=True,
+                    compute_dtype=dt)
+                logits = logits + batch["mask"][None, :]
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["labels"]).mean()
+                acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                batch["labels"]).astype(jnp.float32))
+                return ce + lam * sim, (acc, counts)
+
+            (loss, (acc, counts)), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.trainable)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            new_state = state.replace(step=state.step + 1,
+                                      trainable=trainable,
+                                      opt_state=opt_state, rng=rng)
+            return new_state, e_frequency + counts, \
+                {"loss": loss, "acc": acc}
+
+        self._step = jax.jit(step)
+
+        @jax.jit
+        def predict_fn(frozen, trainable, images_u8, e_frequency, mask):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = preprocess.resize_bilinear(x, clip_cfg.image_size)
+            x = preprocess.normalize(x, self.train_dataset.mean,
+                                     self.train_dataset.std)
+            logits, _, _ = vp.dualprompt_forward(
+                frozen, trainable, x.astype(dt), clip_cfg,
+                e_frequency=e_frequency, pos_g=pos_g, pos_e=pos_e,
+                len_g=len_g, len_e=len_e, train=False, compute_dtype=dt)
+            return jnp.argmax(logits + mask[None, :], axis=-1)
+
+        self._predict_fn = predict_fn
+
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        images, labels, _ = pad_batch(images, labels, cfg.batchsize)
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(self.vocab.remap(labels), jnp.int32),
+                 "mask": jnp.asarray(self.vocab.logit_mask())}
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            self.state, self.e_frequency, stats = self._step(
+                self.state, batch, self.e_frequency)
+        return stats
+
+    def prepare_eval(self):
+        self._mask = jnp.asarray(self.vocab.logit_mask())
+
+    def predict(self, images):
+        return self._predict_fn(self.state.frozen, self.state.trainable,
+                                jnp.asarray(images), self.e_frequency,
+                                self._mask)
+
+
+class MVP(OnlineTrainer):
+    """MVP on the ViT classifier (reference methods/mvp.py +
+    models/mvp.py): the CLIP_MVP machinery with a trainable linear head in
+    place of text features; per-sample gradient scores computed against the
+    head's class vectors."""
+
+    use_mask = True
+    use_contrastiv = False
+    use_afs = False
+    use_gsf = False
+    alpha = 0.5
+    gamma = 2.0
+    margin = 0.5
+
+    def setup_model(self):
+        from ..models.mvp_clip import init_mvp_params, mvp_features
+        from .mvp_clip import mvp_scores
+        cfg = self.cfg
+        self.params, self.clip_cfg = build_clip(
+            cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
+        self.peft_cfg = PEFTConfig(method="mvp")
+        self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
+        c = self.vocab.max_classes
+        e = self.clip_cfg.embed_dim
+        self.e_pool = cfg.stream.n_tasks * 2
+        trainable = init_mvp_params(self.next_rng(), self.clip_cfg,
+                                    e_pool=self.e_pool, num_classes=c)
+        trainable["head"] = {"w": jnp.zeros((e, c), jnp.float32),
+                             "b": jnp.zeros((c,), jnp.float32)}
+        self.count = jnp.zeros((self.e_pool,), jnp.float32)
+        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
+                                 sched_name=cfg.sched_name)
+        self.state = TrainState.create(trainable=trainable,
+                                       frozen=self.params, tx=self.tx,
+                                       rng=self.next_rng())
+        log.info("MVP(ViT) trainable params: %d", param_count(trainable))
+
+        pipeline = preprocess.make_train_pipeline(
+            self.clip_cfg.image_size, self.train_dataset.mean,
+            self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms,
+            out_dtype=self.compute_dtype)
+        clip_cfg, dt = self.clip_cfg, self.compute_dtype
+        use_mask, use_afs = self.use_mask, self.use_afs
+        use_gsf, use_contrastiv = self.use_gsf, self.use_contrastiv
+        alpha, gamma, margin = self.alpha, self.gamma, self.margin
+
+        def head_logits(trainable, img, cls_mask, class_mask):
+            logits = jnp.einsum("be,ec->bc", img.astype(jnp.float32),
+                                trainable["head"]["w"]) \
+                + trainable["head"]["b"]
+            if use_mask:
+                logits = logits * cls_mask
+            return logits + class_mask[None, :]
+
+        def step(state: TrainState, batch, count):
+            rng, aug_rng = jax.random.split(state.rng)
+            images = pipeline(aug_rng, batch["images"])
+
+            def objective(trainable):
+                img, cls_mask, sim_loss, new_count, _ = mvp_features(
+                    state.frozen, trainable, count, images, clip_cfg,
+                    use_contrastiv=use_contrastiv, train=True,
+                    compute_dtype=dt)
+                head_vecs = trainable["head"]["w"].T  # (C, E) class vectors
+                ign, cps = mvp_scores(
+                    jax.lax.stop_gradient(img),
+                    jax.lax.stop_gradient(head_vecs),
+                    batch["labels"], jax.lax.stop_gradient(cls_mask),
+                    batch["mask"], jnp.asarray(1.0), use_mask, margin)
+                img_used = img / cps[:, None].astype(img.dtype) \
+                    if use_afs else img
+                logits = head_logits(trainable, img_used, cls_mask,
+                                     batch["mask"])
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["labels"])
+                if use_gsf:
+                    ce = (1 - alpha) * ce + alpha * (ign ** gamma) * ce
+                loss = ce.mean() + sim_loss
+                acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                batch["labels"]).astype(jnp.float32))
+                return loss, (acc, new_count)
+
+            (loss, (acc, new_count)), grads = jax.value_and_grad(
+                objective, has_aux=True)(state.trainable)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.trainable)
+            trainable = optax.apply_updates(state.trainable, updates)
+            return state.replace(step=state.step + 1, trainable=trainable,
+                                 opt_state=opt_state, rng=rng), new_count, \
+                {"loss": loss, "acc": acc}
+
+        self._step = jax.jit(step)
+
+        @jax.jit
+        def predict_fn(frozen, trainable, count, images_u8, mask):
+            x = images_u8.astype(jnp.float32) / 255.0
+            x = preprocess.resize_bilinear(x, clip_cfg.image_size)
+            x = preprocess.normalize(x, self.train_dataset.mean,
+                                     self.train_dataset.std)
+            img, cls_mask, _, _, _ = mvp_features(
+                frozen, trainable, count, x.astype(dt), clip_cfg,
+                use_contrastiv=use_contrastiv, train=False,
+                compute_dtype=dt)
+            return jnp.argmax(head_logits(trainable, img, cls_mask, mask),
+                              axis=-1)
+
+        self._predict_fn = predict_fn
+
+    def online_step(self, images, labels, indices):
+        cfg = self.cfg
+        images, labels, _ = pad_batch(images, labels, cfg.batchsize)
+        batch = {"images": jnp.asarray(images),
+                 "labels": jnp.asarray(self.vocab.remap(labels), jnp.int32),
+                 "mask": jnp.asarray(self.vocab.logit_mask())}
+        stats = {}
+        for _ in range(max(int(cfg.online_iter), 1)):
+            self.state, self.count, stats = self._step(self.state, batch,
+                                                       self.count)
+        return stats
+
+    def prepare_eval(self):
+        self._mask = jnp.asarray(self.vocab.logit_mask())
+
+    def predict(self, images):
+        return self._predict_fn(self.state.frozen, self.state.trainable,
+                                self.count, jnp.asarray(images),
+                                self._mask)

@@ -80,8 +80,14 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             moe = peft.get("moe")
 
     h = layer_norm(x, blk["ln_1"])
-    x_kv = h if kv_prefix is None else jnp.concatenate(
-        [kv_prefix.astype(h.dtype), h], axis=1)
+    if kv_prefix is None:
+        x_kv = h
+    elif isinstance(kv_prefix, dict):
+        # asymmetric prefixes: Ek on the key path, Ev on the value path
+        x_kv = (jnp.concatenate([kv_prefix["k"].astype(h.dtype), h], axis=1),
+                jnp.concatenate([kv_prefix["v"].astype(h.dtype), h], axis=1))
+    else:
+        x_kv = jnp.concatenate([kv_prefix.astype(h.dtype), h], axis=1)
     a = multi_head_attention(h, blk["attn"], n_heads, x_kv=x_kv, mask=mask,
                              lora=lora, impl=attn_impl)
     if adapter is not None:
@@ -136,14 +142,17 @@ def transformer(x,
     if peft is not None:
         xs["peft"] = peft
     if layer_prompts is not None:
-        if layer_prompts.ndim == 3:
-            layer_prompts = jnp.broadcast_to(
-                layer_prompts[:, None],
-                (layer_prompts.shape[0], x.shape[0]) + layer_prompts.shape[1:])
+        def bcast(lp):
+            if lp.ndim == 3:
+                lp = jnp.broadcast_to(
+                    lp[:, None], (lp.shape[0], x.shape[0]) + lp.shape[1:])
+            return lp
+
+        # dict {'k','v'} = asymmetric prefixes (CoPL Ek/Ev); array = shared
+        layer_prompts = jax.tree.map(bcast, layer_prompts)
         xs["prompts"] = layer_prompts
         if layer_prompt_valid is not None:
             t = x.shape[1]
-            p = layer_prompts.shape[2]
             prefix_mask = jnp.where(layer_prompt_valid, 0.0, -jnp.inf)
             full = jnp.concatenate(
                 [prefix_mask, jnp.zeros((prefix_mask.shape[0], t))], axis=1)

@@ -1,0 +1,219 @@
+"""ProtoCLIP (CUSTOM_CLIP) — prompt-pool CLIP with CoPL visual prompts.
+
+Parity target: reference ``models/proto_clip.py`` + ``models/clip/zoo.py``:
+  * learnable ``text_key`` (P, 512) / ``text_prompt`` (P, n_ctx, 512) pools
+    (``proto_clip.py:58-63``), top-K selection by image-feature similarity
+    (``forward():109-124``): selected ctx tokens are spliced into per-class
+    prompt embeddings "x"*K·n_ctx + classname, and each (sample, class)
+    pair runs the text tower (logits = scale · Σ img⊙txt_c);
+  * CoPL visual prompt module (``zoo.py:82-148``): per-layer (0-6) pools of
+    (prompt, key, attention) triplets; attention-weighted synthesis of
+    (Ek, Ev) prefix tokens from a query feature; per-task pool slicing with
+    frozen earlier slices; Gram-Schmidt re-orthogonalization at task
+    switches (host-side, ``zoo.py:207-263``);
+  * feature-level entry (``image_is_feature``) for the stage-2 classifier
+    retrain (``forward():84-154``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPConfig
+from . import clip as clip_fns
+from .clip import causal_mask
+
+_P = jax.lax.Precision.HIGHEST
+
+COPL_LAYERS = (0, 1, 2, 3, 4, 5, 6)
+COPL_POOL = 100
+COPL_LEN = 8  # Ek 4 + Ev 4
+
+
+def init_proto_params(rng, clip_cfg: CLIPConfig, *, num_prompt: int = 10,
+                      n_ctx: int = 12, copl_pool: int = COPL_POOL,
+                      copl_len: int = COPL_LEN):
+    """text pools normal(0.02); CoPL pools orthonormalized at init
+    (reference zoo.py:30-46 runs gram_schmidt on fresh pools)."""
+    tw, vw = clip_cfg.text_width, clip_cfg.vision_width
+    ks = jax.random.split(rng, 6)
+    copl = {
+        "p": jax.random.uniform(ks[0], (len(COPL_LAYERS), copl_pool,
+                                        copl_len, vw), jnp.float32, -1, 1),
+        "k": jax.random.uniform(ks[1], (len(COPL_LAYERS), copl_pool, vw),
+                                jnp.float32, -1, 1),
+        "a": jax.random.uniform(ks[2], (len(COPL_LAYERS), copl_pool, vw),
+                                jnp.float32, -1, 1),
+    }
+    copl = jax.tree.map(lambda t: gram_schmidt(np.asarray(t)), copl)
+    return {
+        "text_key": 0.02 * jax.random.normal(ks[3], (num_prompt, tw),
+                                             jnp.float32),
+        "text_prompt": 0.02 * jax.random.normal(
+            ks[4], (num_prompt, n_ctx, tw), jnp.float32),
+        "copl": {k: jnp.asarray(v) for k, v in copl.items()},
+    }
+
+
+def gram_schmidt(t: np.ndarray) -> np.ndarray:
+    """Orthonormalize pool vectors (host-side, rare — task boundaries only;
+    reference zoo.py:207-263). Leading dims batch; last axis flattened."""
+    shp = t.shape
+    flat = t.reshape(shp[0], shp[1], -1) if t.ndim > 2 else t[None]
+    out = np.zeros_like(flat)
+    for l in range(flat.shape[0]):
+        basis = []
+        for i in range(flat.shape[1]):
+            v = flat[l, i].astype(np.float64)
+            for b in basis:
+                v = v - np.dot(v, b) * b
+            n = np.linalg.norm(v)
+            if n > 1e-10:
+                v = v / n
+            else:
+                v = np.random.default_rng(i).normal(size=v.shape)
+                v /= np.linalg.norm(v)
+            basis.append(v)
+            out[l, i] = v
+        # match input scale roughly (reference keeps unnormalized scale
+        # via uniform init; orthonormal basis suffices functionally)
+    return (out.reshape(shp) if t.ndim > 2 else out[0]).astype(np.float32)
+
+
+def copl_prefixes(copl, query, layers: int, *, task_count: int,
+                  n_tasks: int, train: bool, dtype):
+    """Synthesize per-layer (Ek, Ev) prefix tokens from the query.
+
+    Task slicing per reference zoo.py:95-110: train uses the current
+    task's pool slice with earlier slices frozen (stop_gradient); eval
+    uses all slices up to the current task.
+    """
+    pool = copl["k"].shape[1]
+    pt = pool // max(n_tasks, 1)
+    s, f = task_count * pt, (task_count + 1) * pt
+    idx = jnp.arange(pool)
+    if train:
+        live = (idx >= s) & (idx < f)
+        use = idx < f
+    else:
+        live = jnp.zeros((pool,), bool)
+        use = idx < f
+
+    def synth(k_pool, a_pool, p_pool):
+        k_eff = jnp.where(live[:, None], k_pool,
+                          jax.lax.stop_gradient(k_pool))
+        a_eff = jnp.where(live[:, None], a_pool,
+                          jax.lax.stop_gradient(a_pool))
+        p_eff = jnp.where(live[:, None, None], p_pool,
+                          jax.lax.stop_gradient(p_pool))
+        aq = query[:, None, :] * a_eff[None]                 # (B, P, D)
+        nk = k_eff / (jnp.linalg.norm(k_eff, axis=-1,
+                                      keepdims=True) + 1e-8)
+        nq = aq / (jnp.linalg.norm(aq, axis=-1, keepdims=True) + 1e-8)
+        w = jnp.einsum("bpd,pd->bp", nq, nk, precision=_P)
+        w = jnp.where(use[None, :], w, 0.0)                  # mask future
+        pr = jnp.einsum("bp,pld->bld", w, p_eff, precision=_P)
+        half = pr.shape[1] // 2
+        return pr[:, :half], pr[:, half:]
+
+    b = query.shape[0]
+    half = copl["p"].shape[2] // 2
+    d = copl["p"].shape[-1]
+    ek = jnp.zeros((layers, b, half, d), dtype)
+    ev = jnp.zeros((layers, b, half, d), dtype)
+    valid = np.zeros((layers, half), bool)
+    for i, layer in enumerate(COPL_LAYERS):
+        if layer >= layers:
+            continue
+        k_, v_ = synth(copl["k"][i], copl["a"][i], copl["p"][i])
+        ek = ek.at[layer].set(k_.astype(dtype))
+        ev = ev.at[layer].set(v_.astype(dtype))
+        valid[layer, :] = True
+    return {"k": ek, "v": ev}, jnp.asarray(valid)
+
+
+def proto_encode_image(frozen, proto, images, cfg: CLIPConfig, *,
+                       task_count: int, n_tasks: int, train: bool,
+                       compute_dtype=jnp.bfloat16):
+    """Image tower with CoPL prefix prompts; query from a frozen
+    promptless pass (reference get_patch_feature + prompt_module fwd)."""
+    from .mvp_clip import _vit_prelude
+    x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
+    q = clip_fns.transformer(jax.lax.stop_gradient(x), v["blocks"],
+                             cfg.vision_heads)
+    query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
+    query = jax.lax.stop_gradient(query).astype(jnp.float32)
+
+    prompts, valid = copl_prefixes(proto["copl"], query, cfg.vision_layers,
+                                   task_count=task_count, n_tasks=n_tasks,
+                                   train=train, dtype=compute_dtype)
+    h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
+                             layer_prompts=prompts,
+                             layer_prompt_valid=valid)
+    pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
+    img = jnp.einsum("bd,de->be", pooled, v["proj"],
+                     preferred_element_type=jnp.float32, precision=_P)
+    return clip_fns.normalize(img.astype(compute_dtype))
+
+
+def encode_text_embeddings(frozen, embeds, eot_pos, cfg: CLIPConfig,
+                           compute_dtype=jnp.bfloat16):
+    """Text tower over pre-built token embeddings (prompt splicing)."""
+    t = clip_fns._cast_tree(frozen["text"], compute_dtype)
+    x = embeds.astype(compute_dtype) + t["pos_embed"].astype(compute_dtype)
+    x = clip_fns.transformer(x, t["blocks"], cfg.text_heads,
+                             mask=causal_mask(cfg.context_length))
+    x = clip_fns.layer_norm(x, t["ln_final"])
+    pooled = jnp.take_along_axis(
+        x, eot_pos[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    emb = jnp.einsum("bd,de->be", pooled, t["text_projection"],
+                     preferred_element_type=jnp.float32, precision=_P)
+    return emb.astype(compute_dtype)
+
+
+def proto_text_features(frozen, proto, img_feats, class_tokens,
+                        cfg: CLIPConfig, *, top_k: int, n_ctx: int,
+                        compute_dtype=jnp.bfloat16):
+    """Per-(sample, class) text features with selected prompt ctx.
+
+    class_tokens: (C, 77) of "x"*n_ctx·topK + classname prompts. Returns
+    (B, C, E) normalized features. B·C text passes, batched into one call
+    (the reference loops this on GPU; here it is one fused pass).
+    """
+    prob = jnp.einsum("be,pe->bp", img_feats.astype(jnp.float32),
+                      proto["text_key"].astype(jnp.float32), precision=_P)
+    k = min(top_k, prob.shape[1])
+    _, indices = jax.lax.top_k(prob, k)                       # (B, k)
+    sel = proto["text_prompt"][indices]                       # (B, k, n_ctx, D)
+    b = img_feats.shape[0]
+    ctx = sel.reshape(b, k * n_ctx, -1)
+
+    t = frozen["text"]
+    embeds = t["token_embedding"][class_tokens]               # (C, 77, D)
+    c = class_tokens.shape[0]
+    # splice ctx into positions 1..1+k*n_ctx for every (sample, class)
+    pair_embeds = jnp.broadcast_to(embeds[None], (b, c) + embeds.shape[1:])
+    ctx_bc = jnp.broadcast_to(ctx[:, None], (b, c) + ctx.shape[1:])
+    pair_embeds = jnp.concatenate(
+        [pair_embeds[:, :, :1], ctx_bc.astype(pair_embeds.dtype),
+         pair_embeds[:, :, 1 + k * n_ctx:]], axis=2)
+    eot = jnp.argmax(class_tokens, axis=-1)                   # (C,)
+    eot_bc = jnp.broadcast_to(eot[None], (b, c)).reshape(b * c)
+    txt = encode_text_embeddings(
+        frozen, pair_embeds.reshape(b * c, *pair_embeds.shape[2:]),
+        eot_bc, cfg, compute_dtype)
+    txt = clip_fns.normalize(txt).reshape(b, c, -1)
+    return txt, indices
+
+
+def proto_logits(frozen, img_feats, txt_feats_bc):
+    """logits = scale · Σ img⊙txt per class (reference forward:120-124)."""
+    scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
+    return scale * jnp.einsum("be,bce->bc",
+                              img_feats.astype(jnp.float32),
+                              txt_feats_bc.astype(jnp.float32),
+                              precision=_P)

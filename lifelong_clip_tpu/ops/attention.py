@@ -30,8 +30,10 @@ import jax.numpy as jnp
 _P = jax.lax.Precision.HIGHEST
 
 
-def qkv_projection(x_q, x_kv, w_qkv, b_qkv, lora=None):
-    """Project queries from ``x_q`` and keys/values from ``x_kv``.
+def qkv_projection(x_q, x_k, x_v, w_qkv, b_qkv, lora=None):
+    """Project queries from ``x_q``, keys from ``x_k``, values from ``x_v``
+    (k/v inputs may carry different prefix tokens, e.g. CoPL's Ek/Ev —
+    reference ``PromptedMultiheadAttention``, models/clip/model.py:265-293).
 
     ``w_qkv``: (D, 3D) fused projection. ``lora``: optional dict with
     ``a_in`` (D, r), ``b_in`` (r, 3D) and scalar ``scaling`` — the low-rank
@@ -52,8 +54,8 @@ def qkv_projection(x_q, x_kv, w_qkv, b_qkv, lora=None):
         return y.astype(x.dtype)
 
     q = proj(x_q, 0, d)
-    k = proj(x_kv, d, 2 * d)
-    v = proj(x_kv, 2 * d, 3 * d)
+    k = proj(x_k, d, 2 * d)
+    v = proj(x_v, 2 * d, 3 * d)
     return q, k, v
 
 
@@ -94,8 +96,9 @@ def multi_head_attention(x_q,
     mask:   additive mask broadcastable to (B, H, T, S).
     """
     x_kv = x_q if x_kv is None else x_kv
-    q, k, v = qkv_projection(x_q, x_kv, params["w_qkv"], params["b_qkv"],
-                             lora=lora)
+    x_k, x_v = x_kv if isinstance(x_kv, tuple) else (x_kv, x_kv)
+    q, k, v = qkv_projection(x_q, x_k, x_v, params["w_qkv"],
+                             params["b_qkv"], lora=lora)
     if impl == "pallas":
         from .flash_attention import flash_attention
         ctx = flash_attention(q, k, v, n_heads, mask=mask)
