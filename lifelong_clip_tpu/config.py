@@ -134,3 +134,5 @@ class TrainConfig:
     n_worker: int = 0
     seed: int = 1
     profile: bool = False
+    ckpt_dir: str = ""       # save resume checkpoints at task boundaries
+    resume_from: str = ""    # restore a run from this checkpoint dir

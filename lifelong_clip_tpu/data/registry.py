@@ -139,6 +139,9 @@ def get_dataset(name: str,
     benchmarks executable in this zero-egress environment).
     """
     key = name.lower()
+    if key.startswith("multi:"):
+        return get_multi_dataset(key, data_dir, train=train,
+                                 synthetic_fallback=synthetic_fallback)
     if key.startswith("synthetic"):
         _, _, n_cls = dataset_stats(key)
         return make_synthetic(n_classes=n_cls, train=train, name=key)
@@ -151,3 +154,44 @@ def get_dataset(name: str,
         ds = make_synthetic(n_classes=n_cls, train=train,
                             name=f"synthetic:{key}")
         return dataclasses.replace(ds, mean=mean, std=std)
+
+
+def _resize_nearest(imgs: np.ndarray, size: int) -> np.ndarray:
+    """Host-side nearest-neighbor resize for dataset materialization."""
+    n, h, w, c = imgs.shape
+    if h == size and w == size:
+        return imgs
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return imgs[:, ys][:, :, xs]
+
+
+def combine_datasets(datasets, image_size: int = None,
+                     name: str = "multi") -> ArrayDataset:
+    """Concatenate datasets with label offsetting — the cross-domain
+    multiDatasets stream (reference datasets/multiDatasets.py:9-51)."""
+    image_size = image_size or max(d.images.shape[1] for d in datasets)
+    images, targets, names = [], [], []
+    offset = 0
+    for d in datasets:
+        images.append(_resize_nearest(d.images, image_size))
+        targets.append(d.targets + offset)
+        names.extend(f"{d.name}:{c}" if d.name else str(c)
+                     for c in d.class_names)
+        offset += d.n_classes
+    return ArrayDataset(images=np.concatenate(images),
+                        targets=np.concatenate(targets),
+                        class_names=names,
+                        mean=datasets[0].mean, std=datasets[0].std,
+                        name=name)
+
+
+def get_multi_dataset(spec: str, data_dir: str = "./data",
+                      train: bool = True,
+                      synthetic_fallback: bool = False) -> ArrayDataset:
+    """'multi:cub200+stanfordcars+food101' -> combined offset-label stream."""
+    parts = spec.split(":", 1)[1].split("+")
+    ds = [get_dataset(p, data_dir, train=train,
+                      synthetic_fallback=synthetic_fallback)
+          for p in parts]
+    return combine_datasets(ds, name=spec)

@@ -61,6 +61,25 @@ def base_parser() -> argparse.ArgumentParser:
                    help="device mesh 'DATAxMODEL', e.g. 8x1")
     p.add_argument("--n_worker", type=int, default=0)
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--ckpt_dir", type=str, default="",
+                   help="save resume checkpoints at task boundaries")
+    p.add_argument("--resume_from", type=str, default="",
+                   help="restore a run from this checkpoint dir")
+    # MVP flags (reference configuration/config.py:96-105)
+    p.add_argument("--use_mask", action="store_true", default=False)
+    p.add_argument("--use_contrastiv", action="store_true", default=False)
+    p.add_argument("--use_afs", action="store_true", default=False)
+    p.add_argument("--use_gsf", action="store_true", default=False)
+    p.add_argument("--use_last_layer", action="store_true", default=False)
+    p.add_argument("--alpha", type=float, default=0.5)
+    p.add_argument("--gamma", type=float, default=2.0)
+    p.add_argument("--margin", type=float, default=0.5)
+    # zero-shot eval (reference config.py:113-116)
+    p.add_argument("--zero_shot_evaluation", action="store_true",
+                   default=False)
+    p.add_argument("--zero_shot_dataset", nargs="+", type=str,
+                   default=["food101", "caltech101", "eurosat",
+                            "flowers102", "oxford_pet"])
     return p
 
 
@@ -84,7 +103,8 @@ def args_to_config(args) -> TrainConfig:
         note=args.note or f"{args.method}_{args.visible_classes}_"
                           f"{args.peft_encoder}_{args.seed}",
         debug=args.debug, mesh_shape=mesh, n_worker=args.n_worker,
-        seed=args.seed, profile=args.profile)
+        seed=args.seed, profile=args.profile, ckpt_dir=args.ckpt_dir,
+        resume_from=args.resume_from)
 
 
 def main(argv=None):
@@ -94,9 +114,22 @@ def main(argv=None):
     args = base_parser().parse_args(argv)
     cfg = args_to_config(args)
     from .methods import get_method
-    trainer = get_method(cfg.method)(
-        cfg, synthetic_fallback=args.synthetic_fallback)
-    return trainer.run()
+    trainer_cls = get_method(cfg.method)
+    # MVP behavior flags map onto class attributes (reference wires them
+    # through kwargs; here the trainer classes carry the defaults)
+    overrides = {k: getattr(args, k) for k in
+                 ("use_mask", "use_contrastiv", "use_afs", "use_gsf",
+                  "use_last_layer", "alpha", "gamma", "margin")
+                 if hasattr(trainer_cls, k) and getattr(args, k)}
+    if overrides:
+        trainer_cls = type(trainer_cls.__name__, (trainer_cls,), overrides)
+    trainer = trainer_cls(cfg, synthetic_fallback=args.synthetic_fallback)
+    out = trainer.run(resume_from=cfg.resume_from or None)
+    if args.zero_shot_evaluation:
+        from .methods.zero_shot_eval import run_zero_shot_eval
+        run_zero_shot_eval(trainer, args.zero_shot_dataset,
+                           synthetic_fallback=args.synthetic_fallback)
+    return out
 
 
 if __name__ == "__main__":

@@ -89,28 +89,65 @@ class OnlineTrainer:
         pass
 
     # -- main loop ------------------------------------------------------------
-    def run(self):
+    def run(self, resume_from: Optional[str] = None):
         cfg = self.cfg
-        for task_id in range(self.stream.n_tasks):
-            log.info("### task %d / %d ###", task_id + 1,
-                     self.stream.n_tasks)
-            self.online_before_task(task_id)
-            task_indices = self.stream.task_indices[task_id]
-            if cfg.debug:
-                task_indices = task_indices[:500]
-            for batch_idx in iter_batches(task_indices, cfg.batchsize):
-                images, labels = self.train_dataset.gather(batch_idx)
-                self.vocab.expose(labels)
-                stats = self.online_step(images, labels, batch_idx)
-                self.samples_seen += len(batch_idx)
-                if stats:
-                    self._report_train(stats)
-                if self.samples_seen >= self._next_eval:
-                    self._periodic_eval()
-                    self._next_eval += cfg.eval_period
-            self.online_after_task(task_id)
-            self._task_end_eval(task_id)
+        from ..utils.observability import StepTimer, profile_trace
+        self.step_timer = StepTimer()
+
+        start_task, start_batch = 0, 0
+        if resume_from:
+            from ..utils.checkpoints import restore_trainer
+            cursor = restore_trainer(self, resume_from)
+            start_task = cursor.get("task_id", 0)
+            start_batch = cursor.get("batch", 0)
+            self.samples_seen = cursor.get("samples_seen", 0)
+            self._next_eval = cursor.get("next_eval", cfg.eval_period)
+            log.info("resumed from %s at task %d batch %d", resume_from,
+                     start_task, start_batch)
+
+        profile_dir = (os.path.join(self.result_dir(), "profile")
+                       if cfg.profile else None)
+        with profile_trace(profile_dir, enabled=cfg.profile):
+            for task_id in range(start_task, self.stream.n_tasks):
+                log.info("### task %d / %d ###", task_id + 1,
+                         self.stream.n_tasks)
+                self.online_before_task(task_id)
+                task_indices = self.stream.task_indices[task_id]
+                if cfg.debug:
+                    task_indices = task_indices[:500]
+                for bi, batch_idx in enumerate(
+                        iter_batches(task_indices, cfg.batchsize)):
+                    if task_id == start_task and bi < start_batch:
+                        continue
+                    images, labels = self.train_dataset.gather(batch_idx)
+                    self.vocab.expose(labels)
+                    with self.step_timer.tick():
+                        stats = self.online_step(images, labels, batch_idx)
+                    self.samples_seen += len(batch_idx)
+                    if stats:
+                        self._report_train(stats)
+                    if self.samples_seen >= self._next_eval:
+                        self._periodic_eval()
+                        self._next_eval += cfg.eval_period
+                self.online_after_task(task_id)
+                self._task_end_eval(task_id)
+                self._maybe_checkpoint(task_id)
         return self.save_result()
+
+    def _maybe_checkpoint(self, task_id: int):
+        ckpt_dir = getattr(self.cfg, "ckpt_dir", "") or \
+            os.environ.get("LLC_CKPT_DIR", "")
+        if not ckpt_dir:
+            return
+        from ..utils.checkpoints import save_checkpoint
+        save_checkpoint(
+            ckpt_dir, state=getattr(self, "state", {}), memory=self.memory,
+            vocab=self.vocab, metrics=self.metrics,
+            cursor={"task_id": task_id + 1, "batch": 0,
+                    "samples_seen": self.samples_seen,
+                    "next_eval": self._next_eval})
+        log.info("checkpoint saved to %s (post-task %d)", ckpt_dir,
+                 task_id + 1)
 
     # -- evaluation -----------------------------------------------------------
     def evaluate(self):
@@ -158,8 +195,12 @@ class OnlineTrainer:
     def _task_end_eval(self, task_id: int):
         correct, total = self.evaluate()
         acc = self.metrics.record_task_end(correct, total)
-        log.info("task %d done | acc %.4f | elapsed %.1fs", task_id + 1,
-                 acc, time.time() - self._start)
+        timing = getattr(self, "step_timer", None)
+        t = timing.summary() if timing else {}
+        log.info("task %d done | acc %.4f | elapsed %.1fs | "
+                 "step p50 %.1fms p99 %.1fms", task_id + 1, acc,
+                 time.time() - self._start, t.get("p50_ms", 0.0),
+                 t.get("p99_ms", 0.0))
 
     def _report_train(self, stats):
         if self.samples_seen % (self.cfg.batchsize * 20) == 0:

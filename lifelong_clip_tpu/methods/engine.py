@@ -62,7 +62,11 @@ def make_train_step(clip_cfg: CLIPConfig,
                     autoaug_policy: str = "imagenet",
                     use_cutmix: bool = False,
                     compute_dtype=jnp.bfloat16,
-                    attn_impl: str = "xla",
+                    # measured on v5e: XLA's saved-probs autodiff edges out
+                    # the pallas fwd+recompute-bwd pair for the train step
+                    # (656 vs 642 samples/s); pallas wins forward-only
+                    # paths by ~25% and stays the default there
+                    attn_impl: Optional[str] = "xla",
                     forward_fn: Optional[Callable] = None,
                     loss_fn: Optional[Callable] = None,
                     donate: bool = True):
@@ -135,7 +139,7 @@ def make_text_feature_fn(clip_cfg: CLIPConfig,
                          peft_cfg: PEFTConfig,
                          *,
                          compute_dtype=jnp.bfloat16,
-                         attn_impl: str = "xla"):
+                         attn_impl: Optional[str] = None):
     """Jitted class-token-table -> normalized text features.
 
     Run once per exposed-class change at eval time (the reference re-runs
@@ -160,7 +164,7 @@ def make_eval_step(clip_cfg: CLIPConfig,
                    image_size: int,
                    mean, std,
                    compute_dtype=jnp.bfloat16,
-                   attn_impl: str = "xla"):
+                   attn_impl: Optional[str] = None):
     """Jitted eval step: images + cached text features -> (preds, logits).
 
     Mirrors reference ``online_evaluate`` (methods/adapter_clip.py:132-176)

@@ -122,7 +122,7 @@ def transformer(x,
                 peft=None,
                 layer_prompts=None,
                 layer_prompt_valid=None,
-                attn_impl: str = "xla"):
+                attn_impl: Optional[str] = None):
     """Scan the stacked residual blocks over the depth axis.
 
     ``blocks``/``peft``/``layer_prompts`` are layer-stacked pytrees
@@ -193,7 +193,7 @@ def encode_image(params,
                  peft=None,
                  layer_prompts=None,
                  compute_dtype=jnp.bfloat16,
-                 attn_impl: str = "xla",
+                 attn_impl: Optional[str] = None,
                  return_tokens: bool = False):
     """Vision tower. ``images``: (B, H, W, 3) normalized floats.
 
@@ -233,7 +233,7 @@ def encode_text(params,
                 peft=None,
                 layer_prompts=None,
                 compute_dtype=jnp.bfloat16,
-                attn_impl: str = "xla"):
+                attn_impl: Optional[str] = None):
     """Text tower. ``tokens``: (B, context_length) int32.
 
     Pools features at the EOT position (argmax of token ids — EOT has the
@@ -273,7 +273,7 @@ def clip_forward(params,
                  peft_vision=None,
                  peft_text=None,
                  compute_dtype=jnp.bfloat16,
-                 attn_impl: str = "xla"):
+                 attn_impl: Optional[str] = None):
     """Joint forward: (logits_per_image, image_feats, text_feats).
 
     Parity with reference ``CLIP.forward`` (model.py:958-975), minus the

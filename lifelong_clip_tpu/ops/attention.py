@@ -78,6 +78,18 @@ def sdpa_xla(q, k, v, n_heads: int, mask: Optional[jnp.ndarray] = None):
     return out.reshape(b, t, d).astype(v.dtype)
 
 
+_DEFAULT_IMPL = None
+
+
+def default_impl() -> str:
+    """Pallas fused attention on TPU, XLA einsum elsewhere."""
+    global _DEFAULT_IMPL
+    if _DEFAULT_IMPL is None:
+        _DEFAULT_IMPL = ("pallas" if jax.default_backend() == "tpu"
+                         else "xla")
+    return _DEFAULT_IMPL
+
+
 def multi_head_attention(x_q,
                          params,
                          n_heads: int,
@@ -85,7 +97,7 @@ def multi_head_attention(x_q,
                          x_kv=None,
                          mask: Optional[jnp.ndarray] = None,
                          lora=None,
-                         impl: str = "xla"):
+                         impl: Optional[str] = None):
     """Full MHA: fused qkv (+LoRA), SDPA, output projection (+LoRA).
 
     params: {'w_qkv': (D,3D), 'b_qkv': (3D,), 'w_out': (D,D), 'b_out': (D,)}
@@ -95,6 +107,10 @@ def multi_head_attention(x_q,
             (``lora.py:437-455``).
     mask:   additive mask broadcastable to (B, H, T, S).
     """
+    impl = impl or default_impl()
+    if impl == "pallas" and mask is not None and any(
+            d != 1 for d in mask.shape[:-2]):
+        impl = "xla"  # batch/head-dependent mask: einsum path handles it
     x_kv = x_q if x_kv is None else x_kv
     x_k, x_v = x_kv if isinstance(x_kv, tuple) else (x_kv, x_kv)
     q, k, v = qkv_projection(x_q, x_k, x_v, params["w_qkv"],

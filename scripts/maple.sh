@@ -1,0 +1,12 @@
+#!/bin/bash
+# MaPLe multi-modal prompt tuning (reference scripts/maple.sh).
+DATASET="${1:-tinyimagenet}"; shift || true
+SEEDS=("${@:-1}")
+for seed in "${SEEDS[@]}"; do
+  python -m lifelong_clip_tpu.main \
+    --method maple --dataset "$DATASET" \
+    --n_tasks 5 --n 50 --m 10 --rnd_NM \
+    --model_name "ViT-B/16" --batchsize 64 --lr 5e-4 \
+    --opt_name adamw --online_iter 3 --eval_period 1000 \
+    --seed "$seed" --rnd_seed "$seed"
+done

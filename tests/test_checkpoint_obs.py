@@ -1,0 +1,116 @@
+"""Checkpoint/resume, observability, multi-dataset, zero-shot eval tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lifelong_clip_tpu.data.registry import (combine_datasets,
+                                             get_dataset, make_synthetic)
+from lifelong_clip_tpu.utils.checkpoints import (load_checkpoint,
+                                                 save_checkpoint)
+from lifelong_clip_tpu.utils.observability import StepTimer
+
+from test_engine import TINY, _TinyMixin, synth, tiny_cfg  # noqa: F401
+
+
+def test_step_timer():
+    import time
+    t = StepTimer()
+    for _ in range(3):
+        with t.tick():
+            time.sleep(0.01)
+    s = t.summary()
+    assert 5 < s["p50_ms"] < 100
+
+
+def test_multi_dataset_offsets():
+    a = make_synthetic(n_classes=3, per_class=4, image_size=16, name="a")
+    b = make_synthetic(n_classes=2, per_class=4, image_size=32, name="b")
+    m = combine_datasets([a, b])
+    assert m.n_classes == 5
+    assert len(m) == 20
+    assert m.images.shape[1:] == (32, 32, 3)  # resized to the largest
+    assert set(np.unique(m.targets)) == set(range(5))
+
+
+def test_multi_dataset_registry_spec():
+    m = get_dataset("multi:synthetic-4+synthetic-3")
+    assert m.n_classes == 7
+
+
+def test_checkpoint_roundtrip(tmp_path, synth):  # noqa: F811
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+    from lifelong_clip_tpu.config import PEFTConfig
+
+    class T(_TinyMixin, AdapterCLIP):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="lora-clip", online_iter=1,
+                   peft=PEFTConfig(method="lora", encoder="image"),
+                   ckpt_dir=str(tmp_path / "ckpt"))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    out1 = tr.run()
+    assert os.path.exists(tmp_path / "ckpt" / "host_state.pkl")
+
+    # restore into a fresh trainer; state must match
+    tr2 = T(cfg, train_dataset=train, test_dataset=test)
+    from lifelong_clip_tpu.utils.checkpoints import restore_trainer
+    cursor = restore_trainer(tr2, str(tmp_path / "ckpt"))
+    assert cursor["task_id"] == 2
+    a = jax.tree.leaves(tr.state.trainable)
+    b = jax.tree.leaves(tr2.state.trainable)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    assert tr2.vocab.exposed == tr.vocab.exposed
+    assert tr2.metrics.task_acc == tr.metrics.task_acc
+
+
+def test_resume_continues_run(tmp_path, synth):  # noqa: F811
+    """A run resumed from a post-task-1 checkpoint skips task 1."""
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+    from lifelong_clip_tpu.config import PEFTConfig
+
+    class T(_TinyMixin, AdapterCLIP):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="lora-clip", online_iter=1,
+                   peft=PEFTConfig(method="lora", encoder="image"),
+                   ckpt_dir=str(tmp_path / "ck2"))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    # run only task 0 manually, checkpoint, then resume a fresh trainer
+    tr.online_before_task(0)
+    from lifelong_clip_tpu.utils.stream import iter_batches
+    for batch_idx in iter_batches(tr.stream.task_indices[0],
+                                  cfg.batchsize):
+        images, labels = train.gather(batch_idx)
+        tr.vocab.expose(labels)
+        tr.online_step(images, labels, batch_idx)
+        tr.samples_seen += len(batch_idx)
+    tr._task_end_eval(0)
+    tr._maybe_checkpoint(0)
+
+    tr2 = T(cfg, train_dataset=train, test_dataset=test)
+    out = tr2.run(resume_from=str(tmp_path / "ck2"))
+    # resumed run recorded task-end metrics for both tasks exactly once
+    assert len(tr2.metrics.task_acc) == 2
+
+
+def test_zero_shot_eval_runs(synth):  # noqa: F811
+    from lifelong_clip_tpu.methods.continual_clip import ContinualCLIP
+    from lifelong_clip_tpu.methods.zero_shot_eval import run_zero_shot_eval
+
+    class T(_TinyMixin, ContinualCLIP):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="continual-clip")
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    tr.vocab.expose([0, 1])
+    res = run_zero_shot_eval(tr, ["synthetic-4"], synthetic_fallback=True)
+    assert "synthetic-4" in res
+    assert 0.0 <= res["synthetic-4"] <= 1.0
