@@ -148,3 +148,92 @@ def load_image_folder(data_dir: str, key: str, train: bool,
         raise _missing(key, base)
     return (np.stack(imgs), np.asarray(targets, np.int64),
             [c.replace("_", " ") for c in classes])
+
+
+def load_imagenet_r(data_dir: str, train: bool,
+                    image_size: int = 224) -> Arrays:
+    """ImageNet-R with the reference's deterministic 80/20 split
+    (``datasets/Imagenet_R.py:52-77``: seed-0 torch randperm over samples,
+    sorted index lists) and its 200-class wordnet name table (shipped as
+    ``assets/imagenet_r_classes.json``). Expects the extracted
+    ``imagenet-r/<wnid>/*.jpg`` layout."""
+    import json
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise _missing("imagenet-r (needs PIL)", data_dir) from e
+    base = os.path.join(data_dir, "imagenet-r")
+    if not os.path.isdir(base):
+        raise _missing("imagenet-r", base)
+    names_path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                              "imagenet_r_classes.json")
+    class_names = [n.replace("_", " ")
+                   for n in json.load(open(names_path))]
+
+    wnids = sorted(d for d in os.listdir(base)
+                   if os.path.isdir(os.path.join(base, d)))
+    samples = []
+    for ci, wnid in enumerate(wnids):
+        cdir = os.path.join(base, wnid)
+        for f in sorted(os.listdir(cdir)):
+            if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                samples.append((os.path.join(cdir, f), ci))
+
+    # protocol split: torch randperm(seed 0), 80% train, sorted
+    import torch
+    gen = torch.Generator().manual_seed(0)
+    perm = torch.randperm(len(samples), generator=gen)
+    len_train = int(len(samples) * 0.8)
+    keep = sorted(perm[:len_train].tolist()) if train else \
+        sorted(perm[len_train:].tolist())
+
+    imgs, targets = [], []
+    for i in keep:
+        path, ci = samples[i]
+        with Image.open(path) as im:
+            im = im.convert("RGB").resize((image_size, image_size))
+            imgs.append(np.asarray(im, np.uint8))
+        targets.append(ci)
+    return (np.stack(imgs), np.asarray(targets, np.int64), class_names)
+
+
+def load_tinyimagenet(data_dir: str, train: bool) -> Arrays:
+    """TinyImageNet (reference datasets/TinyImageNet.py layout):
+    train/<wnid>/images/*.JPEG, val/images + val_annotations.txt."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover
+        raise _missing("tinyimagenet (needs PIL)", data_dir) from e
+    base = os.path.join(data_dir, "tiny-imagenet-200")
+    if not os.path.isdir(base):
+        raise _missing("tinyimagenet", base)
+    wnids = sorted(open(os.path.join(base, "wnids.txt"))
+                   .read().split())
+    wnid_to_idx = {w: i for i, w in enumerate(wnids)}
+    names = {}
+    words = os.path.join(base, "words.txt")
+    if os.path.exists(words):
+        for line in open(words):
+            parts = line.strip().split("\t")
+            if len(parts) == 2:
+                names[parts[0]] = parts[1].split(",")[0]
+    class_names = [names.get(w, w) for w in wnids]
+
+    imgs, targets = [], []
+    if train:
+        for w in wnids:
+            d = os.path.join(base, "train", w, "images")
+            for f in sorted(os.listdir(d)):
+                with Image.open(os.path.join(d, f)) as im:
+                    imgs.append(np.asarray(im.convert("RGB"), np.uint8))
+                targets.append(wnid_to_idx[w])
+    else:
+        ann = os.path.join(base, "val", "val_annotations.txt")
+        for line in open(ann):
+            parts = line.strip().split("\t")
+            fname, w = parts[0], parts[1]
+            p = os.path.join(base, "val", "images", fname)
+            with Image.open(p) as im:
+                imgs.append(np.asarray(im.convert("RGB"), np.uint8))
+            targets.append(wnid_to_idx[w])
+    return (np.stack(imgs), np.asarray(targets, np.int64), class_names)

@@ -121,6 +121,10 @@ def _load_native(name: str, data_dir: str, train: bool) -> ArrayDataset:
         imgs, targets, names = loaders.load_mnist_idx(data_dir, key, train)
     elif key == "svhn":
         imgs, targets, names = loaders.load_svhn(data_dir, train)
+    elif key == "imagenet-r":
+        imgs, targets, names = loaders.load_imagenet_r(data_dir, train)
+    elif key == "tinyimagenet":
+        imgs, targets, names = loaders.load_tinyimagenet(data_dir, train)
     else:
         imgs, targets, names = loaders.load_image_folder(data_dir, key,
                                                          train)

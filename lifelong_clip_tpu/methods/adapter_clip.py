@@ -61,6 +61,11 @@ class AdapterCLIP(OnlineTrainer):
                  param_count(self.params), param_count(self.peft))
 
         use_autoaug = "autoaug" in cfg.transforms
+        # image-only PEFT: per-class text features are constant for a given
+        # class set — cache them outside the step (removes the text tower
+        # from the hot loop; the reference recomputes it every step)
+        self._use_text_cache = not self.peft_cfg.on_text()
+        self._step_txt_cache = {}
         self._train_step = make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
@@ -68,6 +73,7 @@ class AdapterCLIP(OnlineTrainer):
             use_autoaug=use_autoaug,
             autoaug_policy=("cifar10" if "cifar" in cfg.dataset else
                             "svhn" if "svhn" in cfg.dataset else "imagenet"),
+            cached_text=self._use_text_cache,
             compute_dtype=self.compute_dtype)
         self._text_fn = make_text_feature_fn(
             self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype)
@@ -98,16 +104,32 @@ class AdapterCLIP(OnlineTrainer):
         images, labels, _ = pad_batch(images, labels, step_bs)
 
         if cfg.visible_classes == "batch":
-            tokens, mask, y, _ = self.vocab.batch_table(labels,
-                                                     self.step_capacity)
+            tokens, mask, y, slots = self.vocab.batch_table(
+                labels, self.step_capacity)
         else:  # all exposed classes visible
             tokens = self.vocab.token_table
             mask = self.vocab.logit_mask()
             y = self.vocab.remap(labels)
+            slots = np.where(self.vocab.exposed_mask,
+                             np.arange(self.vocab.max_classes), -1)
+
+        if self._use_text_cache:
+            key = tuple(int(s) for s in slots)
+            feats = self._step_txt_cache.get(key)
+            if feats is None:
+                feats = self._text_fn(self.state.frozen,
+                                      self.state.trainable,
+                                      jnp.asarray(tokens))
+                if len(self._step_txt_cache) > 512:
+                    self._step_txt_cache.clear()
+                self._step_txt_cache[key] = feats
+            tokens_or_feats = feats
+        else:
+            tokens_or_feats = jnp.asarray(tokens)
 
         batch = {"images": jnp.asarray(images),
                  "labels": jnp.asarray(y, jnp.int32),
-                 "tokens": jnp.asarray(tokens),
+                 "tokens": tokens_or_feats,
                  "mask": jnp.asarray(mask)}
         stats = {}
         for _ in range(max(int(self.cfg.online_iter), 1)):
@@ -116,7 +138,8 @@ class AdapterCLIP(OnlineTrainer):
         if cfg.memory_size > 0:
             for i, lab in zip(indices, labels[:len(indices)]):
                 self.memory.reservoir_update(int(i), int(lab))
-        self._txt_cache_key = None  # trainable text may have changed
+        if not self._use_text_cache:
+            self._txt_cache_key = None  # trainable text changed
         return stats
 
     # -- freeze policy: structural. Only the PEFT tree is in the optimizer. --

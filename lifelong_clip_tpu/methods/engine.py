@@ -51,6 +51,28 @@ def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
     return logits, img_f, txt_f
 
 
+def peft_forward_cached_text(frozen, trainable, images, txt_features,
+                             clip_cfg: CLIPConfig, peft_cfg: PEFTConfig,
+                             compute_dtype, attn_impl: str):
+    """Image-only-PEFT forward against precomputed normalized text features.
+
+    When the text tower carries no trainable parameters its per-class
+    features are constant for a given class set — the reference still
+    re-runs the text encoder every step (models/adapter_clip.py:102-104);
+    caching them removes the whole text tower (fwd) from the hot loop.
+    """
+    img = clip_fns.encode_image(
+        frozen, images, clip_cfg,
+        peft_cfg=peft_cfg if peft_cfg.on_vision() else None,
+        peft=trainable.get("vision"), compute_dtype=compute_dtype,
+        attn_impl=attn_impl)
+    img = clip_fns.normalize(img)
+    scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
+    logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
+                                txt_features.astype(jnp.float32))
+    return logits, img, txt_features
+
+
 def make_train_step(clip_cfg: CLIPConfig,
                     peft_cfg: PEFTConfig,
                     tx: optax.GradientTransformation,
@@ -69,13 +91,16 @@ def make_train_step(clip_cfg: CLIPConfig,
                     attn_impl: Optional[str] = "xla",
                     forward_fn: Optional[Callable] = None,
                     loss_fn: Optional[Callable] = None,
+                    cached_text: bool = False,
                     donate: bool = True):
     """Build the jitted online train step.
 
     batch dict:
       images  (B, H, W, C) uint8 raw samples
       labels  (B,) int32 — already remapped to class-table slots
-      tokens  (K, ctx) int32 — padded class token table for this step
+      tokens  (K, ctx) int32 — padded class token table for this step,
+              OR (with ``cached_text=True``) precomputed normalized text
+              features (K, E) under the same key
       mask    (K,) f32 — 0 on valid class slots, -inf on padding
     """
     pipeline = preprocess.make_train_pipeline(
@@ -83,7 +108,8 @@ def make_train_step(clip_cfg: CLIPConfig,
         autoaug_policy=autoaug_policy,
         out_dtype=compute_dtype) if augment else None
     fwd = forward_fn or functools.partial(
-        peft_forward, clip_cfg=clip_cfg, peft_cfg=peft_cfg,
+        peft_forward_cached_text if cached_text else peft_forward,
+        clip_cfg=clip_cfg, peft_cfg=peft_cfg,
         compute_dtype=compute_dtype, attn_impl=attn_impl)
 
     def default_loss(logits, labels):

@@ -114,8 +114,8 @@ def make_train_pipeline(img_size: int,
         x = images_u8.astype(jnp.float32) / 255.0
         ks = jax.random.split(rng, 4)
         if use_autoaug:
-            from .autoaugment import auto_augment_batch
-            x = auto_augment_batch(ks[3], x, policy=autoaug_policy)
+            from .autoaugment import auto_augment_batch_fast
+            x = auto_augment_batch_fast(ks[3], x, policy=autoaug_policy)
         if use_cutout:
             x = cutout(jax.random.fold_in(rng, 17), x, size=16)
         if use_randaug:
