@@ -28,6 +28,10 @@ class CLIPConfig:
     text_width: int = 512
     text_heads: int = 8
     text_layers: int = 12
+    # tower variant knobs: CLIP uses QuickGELU + a pre-transformer LN;
+    # timm/AugReg ViTs use exact GELU and no ln_pre
+    act: str = "quick_gelu"        # quick_gelu | gelu
+    use_ln_pre: bool = True
 
     @property
     def grid_size(self) -> int:
@@ -46,6 +50,10 @@ CLIP_PRESETS = {
     "ViT-L/14": CLIPConfig(embed_dim=768, patch_size=14, vision_width=1024,
                            vision_layers=24, vision_heads=16, text_width=768,
                            text_heads=12, text_layers=12),
+    # timm-style ViT-B/16 (the reference's L2P/DualPrompt/MVP backbone,
+    # models/l2p.py:23-31): exact GELU, no ln_pre; text tower unused
+    "vit_base_patch16_224": dataclasses.replace(
+        CLIPConfig(), embed_dim=768, act="gelu", use_ln_pre=False),
 }
 
 

@@ -49,6 +49,9 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+_ACTS = {"quick_gelu": quick_gelu, "gelu": jax.nn.gelu}
+
+
 def _adapter_apply(y, p, scale: float):
     """Bottleneck adapter delta: scale * up(relu(down(y))).
 
@@ -65,7 +68,7 @@ def _adapter_apply(y, p, scale: float):
 
 
 def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
-           peft, kv_prefix, attn_impl: str):
+           peft, kv_prefix, attn_impl: str, act: str = "quick_gelu"):
     """One residual attention block; PEFT branches resolve at trace time."""
     lora = None
     adapter = None
@@ -97,7 +100,7 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
     h = layer_norm(x, blk["ln_2"])
     m = jnp.einsum("btd,de->bte", h, blk["mlp"]["w_fc"],
                    preferred_element_type=jnp.float32, precision=_P) + blk["mlp"]["b_fc"]
-    m = quick_gelu(m.astype(h.dtype))
+    m = _ACTS[act](m.astype(h.dtype))
     m = jnp.einsum("bte,ed->btd", m, blk["mlp"]["w_proj"],
                    preferred_element_type=jnp.float32, precision=_P) + blk["mlp"]["b_proj"]
     m = m.astype(h.dtype)
@@ -122,7 +125,8 @@ def transformer(x,
                 peft=None,
                 layer_prompts=None,
                 layer_prompt_valid=None,
-                attn_impl: Optional[str] = None):
+                attn_impl: Optional[str] = None,
+                act: str = "quick_gelu"):
     """Scan the stacked residual blocks over the depth axis.
 
     ``blocks``/``peft``/``layer_prompts`` are layer-stacked pytrees
@@ -164,7 +168,7 @@ def transformer(x,
         if "pmask" in sl:
             m = sl["pmask"] if m is None else m + sl["pmask"]
         h = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
-                   sl.get("prompts"), attn_impl)
+                   sl.get("prompts"), attn_impl, act)
         return h, None
 
     x, _ = jax.lax.scan(body, x, xs)
@@ -210,12 +214,13 @@ def encode_image(params,
                            (x.shape[0], 1, cfg.vision_width))
     x = jnp.concatenate([cls.astype(compute_dtype), x], axis=1)
     x = x + v["pos_embed"].astype(compute_dtype)
-    x = layer_norm(x, v["ln_pre"])
+    if cfg.use_ln_pre:
+        x = layer_norm(x, v["ln_pre"])
     x = transformer(x, v["blocks"], cfg.vision_heads,
                     peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
                     else None,
                     peft=pv, layer_prompts=layer_prompts,
-                    attn_impl=attn_impl)
+                    attn_impl=attn_impl, act=cfg.act)
     pooled = layer_norm(x[:, :1], v["ln_post"])[:, 0]
     emb = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)
@@ -249,7 +254,7 @@ def encode_text(params,
                     peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_text())
                     else None,
                     peft=pt, layer_prompts=layer_prompts,
-                    attn_impl=attn_impl)
+                    attn_impl=attn_impl, act=cfg.act)
     x = layer_norm(x, t["ln_final"])
     eot = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None].astype(jnp.int32),

@@ -130,3 +130,65 @@ def load_clip_params(path: str):
     """Load checkpoint file -> (params, cfg)."""
     sd = _load_state_dict(path)
     return state_dict_to_params(sd)
+
+
+def timm_vit_to_params(sd, cfg: CLIPConfig = None):
+    """Convert a timm-style ViT state dict (blocks.N.attn.qkv.weight ...)
+    into the vision-tower pytree (timm variant: act='gelu', no ln_pre).
+
+    Covers the reference's L2P/DualPrompt/MVP backbone family
+    (``models/l2p.py:23-31``, vit_base_patch16_224). The classifier head
+    (``head.weight/bias``) is returned separately — trainers own heads.
+    """
+    import jax.numpy as jnp
+    layers = len({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    width = sd["cls_token"].shape[-1]
+    conv = sd["patch_embed.proj.weight"]     # (W, 3, P, P)
+    patch = conv.shape[-1]
+    if cfg is None:
+        from ..config import CLIPConfig as _C
+        cfg = _C(embed_dim=width, vision_width=width, vision_layers=layers,
+                 vision_heads=width // 64, patch_size=patch, act="gelu",
+                 use_ln_pre=False)
+    blocks = {"ln_1": {"scale": [], "bias": []},
+              "attn": {"w_qkv": [], "b_qkv": [], "w_out": [], "b_out": []},
+              "ln_2": {"scale": [], "bias": []},
+              "mlp": {"w_fc": [], "b_fc": [], "w_proj": [], "b_proj": []}}
+    for i in range(layers):
+        p = f"blocks.{i}"
+        blocks["ln_1"]["scale"].append(sd[f"{p}.norm1.weight"])
+        blocks["ln_1"]["bias"].append(sd[f"{p}.norm1.bias"])
+        blocks["attn"]["w_qkv"].append(sd[f"{p}.attn.qkv.weight"].T)
+        blocks["attn"]["b_qkv"].append(sd[f"{p}.attn.qkv.bias"])
+        blocks["attn"]["w_out"].append(sd[f"{p}.attn.proj.weight"].T)
+        blocks["attn"]["b_out"].append(sd[f"{p}.attn.proj.bias"])
+        blocks["ln_2"]["scale"].append(sd[f"{p}.norm2.weight"])
+        blocks["ln_2"]["bias"].append(sd[f"{p}.norm2.bias"])
+        blocks["mlp"]["w_fc"].append(sd[f"{p}.mlp.fc1.weight"].T)
+        blocks["mlp"]["b_fc"].append(sd[f"{p}.mlp.fc1.bias"])
+        blocks["mlp"]["w_proj"].append(sd[f"{p}.mlp.fc2.weight"].T)
+        blocks["mlp"]["b_proj"].append(sd[f"{p}.mlp.fc2.bias"])
+    blocks = {k: {kk: jnp.asarray(np.stack(vv)) for kk, vv in v.items()}
+              for k, v in blocks.items()}
+
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, width)
+    pos = sd["pos_embed"]
+    pos = pos[0] if pos.ndim == 3 else pos
+    vision = {
+        "patch_kernel": jnp.asarray(patch_kernel),
+        "class_embedding": jnp.asarray(sd["cls_token"].reshape(-1)),
+        "pos_embed": jnp.asarray(pos),
+        # no ln_pre in timm ViTs: identity params keep the tree uniform
+        "ln_pre": {"scale": jnp.ones((width,), jnp.float32),
+                   "bias": jnp.zeros((width,), jnp.float32)},
+        "blocks": blocks,
+        "ln_post": {"scale": jnp.asarray(sd["norm.weight"]),
+                    "bias": jnp.asarray(sd["norm.bias"])},
+        # timm has no projection; identity keeps encode_image shape-stable
+        "proj": jnp.eye(width, dtype=jnp.float32),
+    }
+    head = None
+    if "head.weight" in sd:
+        head = {"w": jnp.asarray(sd["head.weight"].T),
+                "b": jnp.asarray(sd["head.bias"])}
+    return {"vision": vision, "logit_scale": jnp.asarray(0.0)}, cfg, head
