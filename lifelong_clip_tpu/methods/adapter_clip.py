@@ -24,7 +24,7 @@ from ..config import PEFTConfig
 from ..models import build_clip, build_peft
 from ..models.init import param_count
 from ..utils.train_utils import make_optimizer
-from .base import OnlineTrainer, pad_batch
+from .base import OnlineTrainer, _MeshMixin, pad_batch
 from .engine import (TrainState, make_eval_step, make_text_feature_fn,
                      make_train_step)
 
@@ -33,7 +33,7 @@ import logging
 log = logging.getLogger("lifelong_clip_tpu")
 
 
-class AdapterCLIP(OnlineTrainer):
+class AdapterCLIP(_MeshMixin, OnlineTrainer):
     """Trainer for lora-clip / adapter-clip / moe-clip methods."""
 
     def setup_model(self):
@@ -54,9 +54,9 @@ class AdapterCLIP(OnlineTrainer):
         self.tx = make_optimizer(cfg.opt_name, cfg.lr,
                                  sched_name=cfg.sched_name,
                                  total_steps=self._estimate_steps())
-        self.state = TrainState.create(trainable=self.peft,
-                                       frozen=self.params, tx=self.tx,
-                                       rng=self.next_rng())
+        self.state = self.place_state(TrainState.create(
+            trainable=self.peft, frozen=self.params, tx=self.tx,
+            rng=self.next_rng()))
         log.info("backbone params: %d | trainable PEFT params: %d",
                  param_count(self.params), param_count(self.peft))
 
@@ -127,10 +127,11 @@ class AdapterCLIP(OnlineTrainer):
         else:
             tokens_or_feats = jnp.asarray(tokens)
 
-        batch = {"images": jnp.asarray(images),
-                 "labels": jnp.asarray(y, jnp.int32),
-                 "tokens": tokens_or_feats,
-                 "mask": jnp.asarray(mask)}
+        batch = self.place_batch(
+            {"images": jnp.asarray(images),
+             "labels": jnp.asarray(y, jnp.int32),
+             "tokens": tokens_or_feats,
+             "mask": jnp.asarray(mask)})
         stats = {}
         for _ in range(max(int(self.cfg.online_iter), 1)):
             self.state, stats = self._train_step(self.state, batch)

@@ -115,11 +115,16 @@ class OnlineTrainer:
                 task_indices = self.stream.task_indices[task_id]
                 if cfg.debug:
                     task_indices = task_indices[:500]
-                for bi, batch_idx in enumerate(
-                        iter_batches(task_indices, cfg.batchsize)):
+                # host-side gather of batch N+1 overlaps the device step
+                # for batch N (device placement stays in online_step,
+                # after replay concat / padding)
+                from ..data.prefetch import BatchPrefetcher
+                pf = BatchPrefetcher(
+                    iter_batches(task_indices, cfg.batchsize),
+                    self.train_dataset.gather, place=lambda x: x, depth=2)
+                for bi, (batch_idx, images, labels) in enumerate(pf):
                     if task_id == start_task and bi < start_batch:
                         continue
-                    images, labels = self.train_dataset.gather(batch_idx)
                     self.vocab.expose(labels)
                     with self.step_timer.tick():
                         stats = self.online_step(images, labels, batch_idx)
@@ -249,3 +254,37 @@ def pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int):
     images = np.concatenate([images] * reps, axis=0)[:batch_size]
     labels = np.concatenate([labels] * reps, axis=0)[:batch_size]
     return images, labels, n
+
+
+class _MeshMixin:
+    """Mesh placement helpers for engine-based trainers.
+
+    With ``--mesh NxM`` the batch shards over the data axis and parameters
+    replicate (ViT-B/16 fits per chip; TP layouts are available via
+    parallel.mesh.shard_params for larger towers). The jitted step then
+    runs SPMD — gradient all-reduce becomes a compiler-inserted psum over
+    ICI, replacing the reference's NCCL scaffolding (SURVEY §2.6/2.7).
+    """
+
+    def place_state(self, state):
+        if self.mesh is None:
+            return state
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(self.mesh, P())),
+            state)
+
+    def place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        n = self.mesh.shape[DATA_AXIS]
+
+        def put(k, v):
+            if k in ("images", "labels") and v.shape[0] % n == 0:
+                return jax.device_put(v, NamedSharding(self.mesh,
+                                                       P(DATA_AXIS)))
+            return jax.device_put(v, NamedSharding(self.mesh, P()))
+
+        return {k: put(k, jnp.asarray(v)) for k, v in batch.items()}

@@ -114,3 +114,28 @@ def test_zero_shot_eval_runs(synth):  # noqa: F811
     res = run_zero_shot_eval(tr, ["synthetic-4"], synthetic_fallback=True)
     assert "synthetic-4" in res
     assert 0.0 <= res["synthetic-4"] <= 1.0
+
+
+def test_batch_prefetcher_order_and_content(synth):  # noqa: F811
+    from lifelong_clip_tpu.data.prefetch import BatchPrefetcher
+    from lifelong_clip_tpu.utils.stream import iter_batches
+    train, _ = synth
+    idx = np.arange(20)
+    pf = BatchPrefetcher(iter_batches(idx, 8), train.gather,
+                         place=lambda x: x, depth=2)
+    seen = list(pf)
+    assert [len(b[0]) for b in seen] == [8, 8, 4]
+    for bidx, images, labels in seen:
+        np.testing.assert_array_equal(labels, train.targets[bidx])
+        np.testing.assert_array_equal(images, train.images[bidx])
+
+
+def test_batch_prefetcher_propagates_errors():
+    from lifelong_clip_tpu.data.prefetch import BatchPrefetcher
+
+    def bad_gather(idx):
+        raise RuntimeError("boom")
+
+    pf = BatchPrefetcher([np.arange(4)], bad_gather, place=lambda x: x)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(pf)

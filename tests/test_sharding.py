@@ -99,3 +99,28 @@ def test_tp_param_layout(devices):
     assert spec == P(None, None, "model")
     w_out = params["vision"]["blocks"]["attn"]["w_out"]
     assert w_out.sharding.spec == P(None, "model", None)
+
+
+def test_adapter_trainer_dp_mesh_run(devices):
+    """Full online run through the AdapterCLIP trainer with the batch
+    sharded over an 8-way data mesh (the --mesh 8x1 CLI path)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import _TinyMixin, tiny_cfg
+    from lifelong_clip_tpu.config import PEFTConfig
+    from lifelong_clip_tpu.data.registry import make_synthetic
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+
+    class T(_TinyMixin, AdapterCLIP):
+        pass
+
+    train = make_synthetic(n_classes=8, per_class=24, image_size=32, seed=0)
+    test = make_synthetic(n_classes=8, per_class=6, image_size=32, seed=0,
+                          train=False)
+    cfg = tiny_cfg(method="lora-clip", online_iter=1,
+                   peft=PEFTConfig(method="lora", encoder="image"),
+                   mesh_shape=(8, 1))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    assert tr.mesh is not None
+    out = tr.run()
+    assert np.isfinite(out["A_last"])
