@@ -103,9 +103,17 @@ class ER(OnlineTrainer):
                                        jnp.int32)
 
     def replay_concat(self, images, labels):
+        """Reference composition (methods/er_baseline.py:33-41 +
+        _trainer memory_batchsize): with ``temp_batchsize`` set, the
+        training batch is temp stream samples + (batchsize - temp) memory
+        samples; otherwise a full stream batch + a full memory batch."""
         cfg = self.cfg
-        mem_bs = max(cfg.batchsize - cfg.temp_batchsize, 0) \
-            if cfg.temp_batchsize > 0 else cfg.batchsize
+        if cfg.temp_batchsize > 0:
+            images = images[:cfg.temp_batchsize]
+            labels = labels[:cfg.temp_batchsize]
+            mem_bs = max(cfg.batchsize - cfg.temp_batchsize, 0)
+        else:
+            mem_bs = cfg.batchsize
         if cfg.memory_size > 0 and len(self.memory) > 0 and mem_bs > 0:
             mem_idx = self.memory.sample(mem_bs)
             m_images, m_labels = self.train_dataset.gather(mem_idx)
@@ -113,12 +121,18 @@ class ER(OnlineTrainer):
             labels = np.concatenate([labels, m_labels], axis=0)
         return images, labels
 
+    def _step_bs(self) -> int:
+        cfg = self.cfg
+        if cfg.memory_size <= 0:
+            return cfg.batchsize
+        return cfg.batchsize if cfg.temp_batchsize > 0 \
+            else cfg.batchsize * 2
+
     def online_step(self, images, labels, indices):
         cfg = self.cfg
         stream_images, stream_labels = images, labels
         images, labels = self.replay_concat(images, labels)
-        step_bs = cfg.batchsize * 2 if cfg.memory_size > 0 else cfg.batchsize
-        images, labels, _ = pad_batch(images, labels, step_bs)
+        images, labels, _ = pad_batch(images, labels, self._step_bs())
         y = self.vocab.remap(labels)
         batch = {"images": jnp.asarray(images),
                  "labels": jnp.asarray(y, jnp.int32),

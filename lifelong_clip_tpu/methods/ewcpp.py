@@ -111,8 +111,7 @@ class EWCpp(ER):
     def online_step(self, images, labels, indices):
         cfg = self.cfg
         images, labels = self.replay_concat(images, labels)
-        step_bs = cfg.batchsize * 2 if cfg.memory_size > 0 else cfg.batchsize
-        images, labels, _ = pad_batch(images, labels, step_bs)
+        images, labels, _ = pad_batch(images, labels, self._step_bs())
         y = self.vocab.remap(labels)
         batch = {"images": jnp.asarray(images),
                  "labels": jnp.asarray(y, jnp.int32),
