@@ -30,8 +30,8 @@ from ..parallel import mesh as mesh_lib
 from ..utils.class_vocab import ClassVocabulary
 from ..utils.memory import ReplayMemory
 from ..utils.metrics import OnlineMetrics, per_class_counts
-from ..utils.stream import (iter_batches, si_blurry_stream,
-                            exposed_test_indices)
+from ..utils.stream import (exposed_test_indices, iter_batches,
+                            si_blurry_stream, stream_class_histogram)
 
 log = logging.getLogger("lifelong_clip_tpu")
 
@@ -68,6 +68,13 @@ class OnlineTrainer:
             if np.prod(cfg.mesh_shape) > 1 else None
 
         self.clip_cfg = resolve_clip_preset(cfg.model_name)
+        hist = stream_class_histogram(self.stream,
+                                      self.train_dataset.targets)
+        log.info("stream data config: %s",
+                 [f"task{t}: {int((h > 0).sum())} classes / {int(h.sum())} "
+                  f"samples" for t, h in enumerate(hist)])
+        np.save(os.path.join(self.result_dir(), "train_data_config.npy"),
+                hist)
         self.samples_seen = 0
         self._next_eval = cfg.eval_period
         self.eval_records = {"acc": [], "time": [], "step": []}

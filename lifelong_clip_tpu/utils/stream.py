@@ -178,3 +178,14 @@ def exposed_test_indices(targets: Sequence[int],
     targets = np.asarray(targets)
     mask = np.isin(targets, np.asarray(list(exposed)))
     return np.nonzero(mask)[0]
+
+
+def stream_class_histogram(stream: TaskStream,
+                           targets: Sequence[int]) -> np.ndarray:
+    """(n_tasks, n_classes) sample counts per task — the reference's
+    train_data_config dump (methods/_trainer.py:576-633)."""
+    targets = np.asarray(targets)
+    out = np.zeros((stream.n_tasks, stream.n_classes), np.int64)
+    for t, idx in enumerate(stream.task_indices):
+        out[t] = np.bincount(targets[idx], minlength=stream.n_classes)
+    return out
