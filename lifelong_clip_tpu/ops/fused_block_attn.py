@@ -60,12 +60,13 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
     # padding + user mask (additive, shared across heads)
     pad_mask = mask_ref[...]
 
+    qkv16 = qkv.astype(jnp.bfloat16)
     heads_out = []
     for head in range(n_heads):
         lo = head * dh
-        q = qkv[:, lo:lo + dh]
-        k = qkv[:, d + lo:d + lo + dh]
-        v = qkv[:, 2 * d + lo:2 * d + lo + dh]
+        q = qkv16[:, lo:lo + dh]
+        k = qkv16[:, d + lo:d + lo + dh]
+        v = qkv16[:, 2 * d + lo:2 * d + lo + dh]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale + pad_mask
@@ -73,7 +74,7 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         heads_out.append(jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            p.astype(jnp.bfloat16), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(heads_out, axis=-1)
@@ -188,19 +189,271 @@ def _fused_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
 
 def _fused_bwd(n_heads, lora_scaling, res, g):
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask, lora = res
+    grads, dlora = _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv,
+                                  w_out, mask, lora, n_heads, lora_scaling)
+    dx, dls, dlb, dwqkv, dbqkv, dwout, dbout = grads
+
+    def like(grad, primal):
+        return grad.astype(primal.dtype)
+
+    out = (like(dx, x), like(dls, ln_scale), like(dlb, ln_bias),
+           like(dwqkv, w_qkv), like(dbqkv, b_qkv), like(dwout, w_out),
+           like(dbout, b_out))
     if lora is None:
-        _, vjp = jax.vjp(
-            lambda *a: _reference_math(*a, n_heads=n_heads, mask=mask),
-            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
-        grads = vjp(g)
-        return grads + (None, None)
-    _, vjp = jax.vjp(
-        lambda *a: _reference_math(
-            a[0], a[1], a[2], a[3], a[4], a[5], a[6], n_heads=n_heads,
-            mask=mask, lora=dict(a[7], scaling=lora_scaling)),
-        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, lora)
-    grads = vjp(g)
-    return grads[:7] + (None, grads[7])
+        return out + (None, None)
+    dlora = {k: like(v, lora[k]) for k, v in dlora.items()}
+    return out + (None, dlora)
 
 
 fused_ln_attention_block.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused backward: recompute the block half in VMEM and emit dx + all weight
+# grads in one pass. Weight-grad outputs use constant index maps; TPU grids
+# execute sequentially, so accumulation across batch programs is safe
+# (zero-initialized at program 0).
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
+                b_qkv_ref, w_out_ref, mask_ref, a_in_ref, b_in_ref,
+                a_out_ref, b_out_lora_ref,
+                dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
+                dwout_ref, dbout_ref, dain_ref, dbin_ref, daout_ref,
+                dbout_l_ref,
+                *, n_heads: int, lora_scaling: float, eps: float = 1e-5):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+        dain_ref[...] = jnp.zeros_like(dain_ref)
+        dbin_ref[...] = jnp.zeros_like(dbin_ref)
+        daout_ref[...] = jnp.zeros_like(daout_ref)
+        dbout_l_ref[...] = jnp.zeros_like(dbout_l_ref)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)          # d(y); y = x + out
+    d = x.shape[-1]
+    dh_dim = d // n_heads
+    scale = dh_dim ** -0.5
+
+    # ---- forward recompute ----
+    gamma = ln_scale_ref[...].astype(jnp.float32)
+    beta = ln_bias_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    h32 = xhat * gamma + beta
+    h = h32.astype(jnp.bfloat16)
+
+    w_qkv = w_qkv_ref[...]
+    qkv = jax.lax.dot_general(
+        h, w_qkv, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + \
+        b_qkv_ref[...].astype(jnp.float32)
+    if lora_scaling != 0.0:
+        a_in = a_in_ref[...].astype(jnp.bfloat16)
+        b_in = b_in_ref[...].astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            h, a_in, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = qkv + lora_scaling * jax.lax.dot_general(
+            z.astype(jnp.bfloat16), b_in,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    pad_mask = mask_ref[...]
+    qkv16 = qkv.astype(jnp.bfloat16)
+
+    def head_probs(head):
+        lo = head * dh_dim
+        q = qkv16[:, lo:lo + dh_dim]
+        k = qkv16[:, d + lo:d + lo + dh_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + pad_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        pr = jnp.exp(s - m)
+        return pr / jnp.sum(pr, axis=-1, keepdims=True)
+
+    ctxs = []
+    for head in range(n_heads):
+        lo = head * dh_dim
+        v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
+        ctxs.append(jax.lax.dot_general(
+            head_probs(head).astype(jnp.bfloat16), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+    ctx16 = ctx.astype(jnp.bfloat16)
+
+    # ---- backward ----
+    g16 = g.astype(jnp.bfloat16)
+    w_out = w_out_ref[...]
+    # out-proj grads
+    dwout_ref[...] += jax.lax.dot_general(
+        ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dctx = jax.lax.dot_general(
+        g16, w_out, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if lora_scaling != 0.0:
+        a_out = a_out_ref[...].astype(jnp.bfloat16)
+        b_out_l = b_out_lora_ref[...].astype(jnp.bfloat16)
+        z2 = jax.lax.dot_general(
+            ctx16, a_out, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_l_ref[...] += lora_scaling * jax.lax.dot_general(
+            z2.astype(jnp.bfloat16), g16,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz2 = lora_scaling * jax.lax.dot_general(
+            g16, b_out_l, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        daout_ref[...] += jax.lax.dot_general(
+            ctx16, dz2.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dctx = dctx + jax.lax.dot_general(
+            dz2.astype(jnp.bfloat16), a_out,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # attention backward per head -> dqkv
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for head in range(n_heads):
+        lo = head * dh_dim
+        q = qkv16[:, lo:lo + dh_dim]
+        k = qkv16[:, d + lo:d + lo + dh_dim]
+        v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
+        p = head_probs(head)
+        dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), dctx_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            dctx_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dscore = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = dscore.astype(jnp.bfloat16)
+        dq = jax.lax.dot_general(
+            ds16, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds16, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dqkv_parts_q.append(dq)
+        dqkv_parts_k.append(dk)
+        dqkv_parts_v.append(dv)
+    dqkv = jnp.concatenate(
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)  # (Tp, 3D)
+
+    dqkv16 = dqkv.astype(jnp.bfloat16)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        h, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    dh = jax.lax.dot_general(
+        dqkv16, w_qkv, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if lora_scaling != 0.0:
+        dz = lora_scaling * jax.lax.dot_general(
+            dqkv16, b_in, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dain_ref[...] += jax.lax.dot_general(
+            h, dz.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbin_ref[...] += lora_scaling * jax.lax.dot_general(
+            z.astype(jnp.bfloat16), dqkv16,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dh = dh + jax.lax.dot_general(
+            dz.astype(jnp.bfloat16), a_in,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    # LayerNorm backward
+    dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * gamma
+    mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    dx_ref[0] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
+                   lora, n_heads: int, lora_scaling: float):
+    b, t, d = x.shape
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    tp = _round_up(t, sub)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
+
+    base = jnp.zeros((t, t), jnp.float32) if mask is None else \
+        jnp.broadcast_to(mask.astype(jnp.float32), (t, t))
+    base = jnp.pad(base, ((0, tp - t), (0, tp - t)),
+                   constant_values=-jnp.inf)
+    base = base.at[t:, 0].set(0.0)
+
+    if lora is not None:
+        a_in, b_in = lora["a_in"], lora["b_in"]
+        a_out, b_out_l = lora["a_out"], lora["b_out"]
+        r = a_in.shape[-1]
+    else:
+        r = 8
+        a_in = jnp.zeros((d, r), jnp.float32)
+        b_in = jnp.zeros((r, 3 * d), jnp.float32)
+        a_out = jnp.zeros((d, r), jnp.float32)
+        b_out_l = jnp.zeros((r, d), jnp.float32)
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_heads=n_heads,
+                          lora_scaling=lora_scaling),
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[row, row, const(d), const(d), const(d, 3 * d),
+                  const(3 * d), const(d, d), const(tp, tp),
+                  const(d, r), const(r, 3 * d), const(d, r), const(r, d)],
+        out_specs=(row, const(1, d), const(1, d), const(d, 3 * d),
+                   const(1, 3 * d), const(d, d), const(1, d),
+                   const(d, r), const(r, 3 * d), const(d, r),
+                   const(r, d)),
+        out_shape=(jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, r), f32),
+                   jax.ShapeDtypeStruct((r, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, r), f32),
+                   jax.ShapeDtypeStruct((r, d), f32)),
+    )(xp, gp, ln_scale, ln_bias, w_qkv.astype(jnp.bfloat16), b_qkv,
+      w_out.astype(jnp.bfloat16), base, a_in, b_in, a_out, b_out_l)
+
+    (dx, dls, dlb, dwqkv, dbqkv, dwout, dbout, dain, dbin, daout,
+     dboutl) = outs
+    dx = dx[:, :t]
+    grads = (dx, dls[0], dlb[0], dwqkv, dbqkv[0], dwout, dbout[0])
+    if lora is None:
+        return grads, None
+    return grads, {"a_in": dain, "b_in": dbin, "a_out": daout,
+                   "b_out": dboutl}

@@ -75,3 +75,31 @@ def test_fused_block_gradients():
         # differences come only from the fwd output feeding the loss
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_fused_block_lora_gradients():
+    """Fused backward kernel produces correct LoRA gradients."""
+    x, args = _setup()
+    d, r = 64, 4
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    lora = {"a_in": 0.1 * jax.random.normal(ks[0], (d, r)),
+            "b_in": 0.1 * jax.random.normal(ks[1], (r, 3 * d)),
+            "a_out": 0.1 * jax.random.normal(ks[2], (d, r)),
+            "b_out": 0.1 * jax.random.normal(ks[3], (r, d))}
+
+    def loss_ref(lo):
+        return jnp.sum(_reference_math(
+            x, *args, n_heads=4, mask=None,
+            lora=dict(lo, scaling=0.25)) ** 2)
+
+    def loss_fused(lo):
+        return jnp.sum(fused_ln_attention_block(
+            x, *args, 4, 0.25, None, lo) ** 2)
+
+    g_ref = jax.grad(loss_ref)(lora)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused)(lora)
+    for k in lora:
+        np.testing.assert_allclose(np.asarray(g_fused[k]),
+                                   np.asarray(g_ref[k]),
+                                   atol=5e-2, rtol=5e-2)
