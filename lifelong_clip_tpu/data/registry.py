@@ -15,7 +15,7 @@ per-sample Python transform stack like the reference's.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

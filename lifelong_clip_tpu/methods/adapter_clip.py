@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import PEFTConfig
 from ..models import build_clip, build_peft
 from ..models.init import param_count
 from ..utils.train_utils import make_optimizer

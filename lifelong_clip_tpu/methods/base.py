@@ -13,7 +13,6 @@ Method hook contract preserved from the reference (``_trainer.py:418-428``):
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import logging
 import os

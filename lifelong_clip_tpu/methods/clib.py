@@ -21,7 +21,6 @@ import optax
 from scipy.stats import ttest_ind
 
 from ..ops import preprocess
-from ..utils.train_utils import make_schedule
 from .base import pad_batch
 from .engine import TrainState
 from .er_baseline import ER, head_forward

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import CLIPConfig, PEFTConfig
+from ..config import CLIPConfig
 from ..ops.attention import causal_mask
 from . import clip as clip_fns
 

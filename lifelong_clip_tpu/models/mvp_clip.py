@@ -23,8 +23,6 @@ reference's backward-in-a-loop (``methods/mvp_clip.py:204-238``).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -17,8 +17,6 @@ Parity target: reference ``models/proto_clip.py`` + ``models/clip/zoo.py``:
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

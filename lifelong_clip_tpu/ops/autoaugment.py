@@ -17,7 +17,6 @@ A_auc parity budget covers this (SURVEY §7 hard part 5).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

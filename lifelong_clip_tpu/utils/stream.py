@@ -21,7 +21,7 @@ Sampler bound to a DataLoader.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 
