@@ -107,6 +107,29 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             y = y + _adapter_apply(y - x, adapter, peft_cfg.adapter_scale)
         return _mlp_half(y, blk, adapter, moe, act, peft_cfg)
 
+    # prompted blocks (prompt pools / prefix prompts): fused kernel with
+    # pk/pv joining the KV source
+    if resolved == "pallas" and kv_prefix is not None and lora is None:
+        pk, pv = (kv_prefix["k"], kv_prefix["v"]) \
+            if isinstance(kv_prefix, dict) else (kv_prefix, kv_prefix)
+        m2 = mask
+        if m2 is not None and m2.ndim > 2 and all(
+                s == 1 for s in m2.shape[:-2]):
+            m2 = m2.reshape(m2.shape[-2:]) if m2.shape[-2] != 1 \
+                else m2.reshape(m2.shape[-1:])
+        prefix_ok = (m2 is None or (hasattr(m2, "ndim") and m2.ndim <= 2
+                     and m2.shape[-1] == x.shape[1] + pk.shape[1]))
+        if prefix_ok:
+            from ..ops.fused_block_attn import fused_prefix_attention_block
+            y = fused_prefix_attention_block(
+                x, pk, pv, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
+                blk["attn"]["w_qkv"], blk["attn"]["b_qkv"],
+                blk["attn"]["w_out"], blk["attn"]["b_out"], n_heads, m2)
+            if adapter is not None:
+                y = y + _adapter_apply(y - x, adapter,
+                                       peft_cfg.adapter_scale)
+            return _mlp_half(y, blk, adapter, moe, act, peft_cfg)
+
     h = layer_norm(x, blk["ln_1"])
     if kv_prefix is None:
         x_kv = h

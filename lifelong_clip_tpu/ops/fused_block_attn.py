@@ -457,3 +457,161 @@ def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
         return grads, None
     return grads, {"a_in": dain, "b_in": dbin, "a_out": daout,
                    "b_out": dboutl}
+
+
+# ---------------------------------------------------------------------------
+# KV-prefix variant: prompt tokens (possibly distinct for K and V — CoPL's
+# Ek/Ev) join the key/value source, queries come from LN(x) only. Serves
+# the prompted towers (MVP g/e pools, CoPL, DualPrompt). Backward
+# recomputes through the pure-jnp equivalent (prompts are trainable, so
+# dprefix must flow).
+# ---------------------------------------------------------------------------
+
+def _prefix_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
+                   w_qkv_ref, b_qkv_ref, w_out_ref, b_out_ref, mask_ref,
+                   o_ref, *, n_heads: int, eps: float = 1e-5):
+    x = x_ref[0].astype(jnp.float32)                    # (Tp, D)
+    d = x.shape[-1]
+
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    h = (x - mean) * jax.lax.rsqrt(var + eps)
+    h = h * ln_scale_ref[...].astype(jnp.float32) \
+        + ln_bias_ref[...].astype(jnp.float32)
+    h16 = h.astype(jnp.bfloat16)
+
+    pk = pk_ref[0].astype(jnp.bfloat16)                 # (Pp, D)
+    pv = pv_ref[0].astype(jnp.bfloat16)
+    k_src = jnp.concatenate([pk, h16], axis=0)          # (Sp, D)
+    v_src = jnp.concatenate([pv, h16], axis=0)
+
+    w_qkv = w_qkv_ref[...]
+    b_qkv = b_qkv_ref[...].astype(jnp.float32)
+    q = (jax.lax.dot_general(
+        h16, w_qkv[:, :d], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b_qkv[:d]).astype(jnp.bfloat16)
+    k = (jax.lax.dot_general(
+        k_src, w_qkv[:, d:2 * d],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b_qkv[d:2 * d]).astype(jnp.bfloat16)
+    v = (jax.lax.dot_general(
+        v_src, w_qkv[:, 2 * d:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b_qkv[2 * d:]).astype(jnp.bfloat16)
+
+    dh = d // n_heads
+    scale = dh ** -0.5
+    pad_mask = mask_ref[...]
+    heads_out = []
+    for head in range(n_heads):
+        lo = head * dh
+        s = jax.lax.dot_general(
+            q[:, lo:lo + dh], k[:, lo:lo + dh],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + pad_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        heads_out.append(jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v[:, lo:lo + dh],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    ctx = jnp.concatenate(heads_out, axis=-1)
+
+    out = jax.lax.dot_general(
+        ctx.astype(jnp.bfloat16), w_out_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + \
+        b_out_ref[...].astype(jnp.float32)
+    o_ref[0] = (x + out).astype(o_ref.dtype)
+
+
+def _prefix_reference_math(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
+                           w_out, b_out, n_heads: int, mask):
+    from ..models.clip import layer_norm
+    from .attention import multi_head_attention
+    h = layer_norm(x, {"scale": ln_scale, "bias": ln_bias})
+    x_kv = (jnp.concatenate([pk.astype(h.dtype), h], axis=1),
+            jnp.concatenate([pv.astype(h.dtype), h], axis=1))
+    params = {"w_qkv": w_qkv.astype(jnp.bfloat16), "b_qkv": b_qkv,
+              "w_out": w_out.astype(jnp.bfloat16), "b_out": b_out}
+    return x + multi_head_attention(h, params, n_heads, x_kv=x_kv,
+                                    mask=mask, impl="xla")
+
+
+def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                      b_out, n_heads: int, mask):
+    b, t, d = x.shape
+    p_len = pk.shape[1]
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    tp = _round_up(t, sub)
+    pp = _round_up(p_len, sub)
+    sp = pp + tp
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    pkp = jnp.pad(pk, ((0, 0), (0, pp - p_len), (0, 0)))
+    pvp = jnp.pad(pv, ((0, 0), (0, pp - p_len), (0, 0)))
+
+    s_len = p_len + t
+    base = jnp.zeros((t, s_len), jnp.float32) if mask is None else \
+        jnp.broadcast_to(mask.astype(jnp.float32), (t, s_len))
+    # layout in the kernel: [padded prefix (pp) | padded tokens (tp)]
+    full = jnp.full((tp, sp), -jnp.inf, jnp.float32)
+    full = jax.lax.dynamic_update_slice(full, base[:, :p_len], (0, 0))
+    full = jax.lax.dynamic_update_slice(full, base[:, p_len:], (0, pp))
+    full = full.at[t:, 0].set(0.0)  # keep padded-row softmax finite
+    # padded-prefix columns stay -inf; padded query rows handled above
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    row = lambda ln: pl.BlockSpec((1, ln, d), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_prefix_kernel, n_heads=n_heads),
+        grid=(b,),
+        in_specs=[row(tp), row(pp), row(pp), const(d), const(d),
+                  const(d, 3 * d), const(3 * d), const(d, d), const(d),
+                  const(tp, sp)],
+        out_specs=row(tp),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * tp * d * (4 * d + 2 * sp),
+            bytes_accessed=b * (tp + 2 * pp) * d * 4 + 8 * d * d,
+            transcendentals=b * n_heads * tp * sp,
+        ),
+    )(xp, pkp.astype(x.dtype), pvp.astype(x.dtype), ln_scale, ln_bias,
+      w_qkv.astype(jnp.bfloat16), b_qkv, w_out.astype(jnp.bfloat16),
+      b_out, full)
+    return out[:, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_prefix_attention_block(x, pk, pv, ln_scale, ln_bias, w_qkv,
+                                 b_qkv, w_out, b_out, n_heads: int,
+                                 mask=None):
+    """Prompted block half: x + out_proj(MHA(LN(x); KV prefixed by
+    pk/pv)). pk/pv (B, P, D) are trainable prompt tokens (CoPL Ek/Ev or a
+    shared prefix). Backward recomputes via the pure-jnp equivalent."""
+    return _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
+                             w_out, b_out, n_heads, mask)
+
+
+def _prefix_fwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                n_heads, mask):
+    out = _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
+                            w_out, b_out, n_heads, mask)
+    return out, (x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                 mask)
+
+
+def _prefix_bwd(n_heads, res, g):
+    x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = res
+    _, vjp = jax.vjp(
+        lambda *a: _prefix_reference_math(*a, n_heads=n_heads, mask=mask),
+        x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+    return vjp(g) + (None,)
+
+
+fused_prefix_attention_block.defvjp(_prefix_fwd, _prefix_bwd)

@@ -103,3 +103,50 @@ def test_fused_block_lora_gradients():
         np.testing.assert_allclose(np.asarray(g_fused[k]),
                                    np.asarray(g_ref[k]),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_fused_prefix_block_matches_reference():
+    from lifelong_clip_tpu.ops.fused_block_attn import (
+        _prefix_reference_math, fused_prefix_attention_block)
+    x, args = _setup()
+    b, t, d = x.shape
+    ks = jax.random.split(jax.random.PRNGKey(11), 2)
+    pk = 0.3 * jax.random.normal(ks[0], (b, 5, d), jnp.float32)
+    pv = 0.3 * jax.random.normal(ks[1], (b, 5, d), jnp.float32)
+    ref = _prefix_reference_math(x, pk, pv, *args, n_heads=4, mask=None)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_prefix_attention_block(x, pk, pv, *args, 4, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=6e-3, rtol=6e-3)
+    # asymmetric prefixes actually matter
+    ref_sym = _prefix_reference_math(x, pk, pk, *args, n_heads=4,
+                                     mask=None)
+    assert not np.allclose(np.asarray(ref), np.asarray(ref_sym),
+                           atol=1e-4)
+
+
+def test_fused_prefix_block_prompt_gradients():
+    """dprefix flows (prompt tokens are trainable)."""
+    from lifelong_clip_tpu.ops.fused_block_attn import (
+        _prefix_reference_math, fused_prefix_attention_block)
+    x, args = _setup()
+    b, t, d = x.shape
+    ks = jax.random.split(jax.random.PRNGKey(12), 2)
+    pk = 0.3 * jax.random.normal(ks[0], (b, 5, d), jnp.float32)
+    pv = 0.3 * jax.random.normal(ks[1], (b, 5, d), jnp.float32)
+
+    def lf(pk, pv):
+        return jnp.sum(fused_prefix_attention_block(
+            x, pk, pv, *args, 4, None) ** 2)
+
+    def lr(pk, pv):
+        return jnp.sum(_prefix_reference_math(
+            x, pk, pv, *args, n_heads=4, mask=None) ** 2)
+
+    g_ref = jax.grad(lr, argnums=(0, 1))(pk, pv)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(lf, argnums=(0, 1))(pk, pv)
+    for a, b_ in zip(g_ref, g_fused):
+        assert float(jnp.abs(a).max()) > 0
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-2, rtol=5e-2)
