@@ -608,10 +608,228 @@ def _prefix_fwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
 
 def _prefix_bwd(n_heads, res, g):
     x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = res
-    _, vjp = jax.vjp(
-        lambda *a: _prefix_reference_math(*a, n_heads=n_heads, mask=mask),
-        x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
-    return vjp(g) + (None,)
+    (dx, dpk, dpv, dls, dlb, dwqkv, dbqkv, dwout, dbout) = \
+        _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
+                              w_out, mask, g, n_heads)
+
+    def like(grad, primal):
+        return grad.astype(primal.dtype)
+
+    return (like(dx, x), like(dpk, pk), like(dpv, pv),
+            like(dls, ln_scale), like(dlb, ln_bias), like(dwqkv, w_qkv),
+            like(dbqkv, b_qkv), like(dwout, w_out), like(dbout, b_out),
+            None)
 
 
 fused_prefix_attention_block.defvjp(_prefix_fwd, _prefix_bwd)
+
+
+def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
+                       w_qkv_ref, b_qkv_ref, w_out_ref, mask_ref, g_ref,
+                       dx_ref, dpk_ref, dpv_ref, dls_ref, dlb_ref,
+                       dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
+                       *, n_heads: int, eps: float = 1e-5):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    d = x.shape[-1]
+    dh_dim = d // n_heads
+    scale = dh_dim ** -0.5
+
+    # ---- forward recompute ----
+    gamma = ln_scale_ref[...].astype(jnp.float32)
+    beta = ln_bias_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * rstd
+    h16 = (xhat * gamma + beta).astype(jnp.bfloat16)
+
+    pk = pk_ref[0].astype(jnp.bfloat16)
+    pv = pv_ref[0].astype(jnp.bfloat16)
+    k_src = jnp.concatenate([pk, h16], axis=0)
+    v_src = jnp.concatenate([pv, h16], axis=0)
+    pp = pk.shape[0]
+
+    w_qkv = w_qkv_ref[...]
+    b_qkv = b_qkv_ref[...].astype(jnp.float32)
+    q16 = (jax.lax.dot_general(
+        h16, w_qkv[:, :d], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_qkv[:d]).astype(
+            jnp.bfloat16)
+    k16 = (jax.lax.dot_general(
+        k_src, w_qkv[:, d:2 * d],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_qkv[d:2 * d]).astype(
+            jnp.bfloat16)
+    v16 = (jax.lax.dot_general(
+        v_src, w_qkv[:, 2 * d:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_qkv[2 * d:]).astype(
+            jnp.bfloat16)
+
+    pad_mask = mask_ref[...]
+
+    def head_probs(head):
+        lo = head * dh_dim
+        s = jax.lax.dot_general(
+            q16[:, lo:lo + dh_dim], k16[:, lo:lo + dh_dim],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + pad_mask
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        return p / jnp.sum(p, axis=-1, keepdims=True)
+
+    ctxs = []
+    for head in range(n_heads):
+        lo = head * dh_dim
+        ctxs.append(jax.lax.dot_general(
+            head_probs(head).astype(jnp.bfloat16), v16[:, lo:lo + dh_dim],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))
+    ctx16 = jnp.concatenate(ctxs, axis=-1).astype(jnp.bfloat16)
+
+    # ---- backward ----
+    g16 = g.astype(jnp.bfloat16)
+    w_out = w_out_ref[...]
+    dwout_ref[...] += jax.lax.dot_general(
+        ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    dctx = jax.lax.dot_general(
+        g16, w_out, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for head in range(n_heads):
+        lo = head * dh_dim
+        p = head_probs(head)
+        dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
+        dv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), dctx_h,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            dctx_h, v16[:, lo:lo + dh_dim],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        ds16 = ds.astype(jnp.bfloat16)
+        dq_parts.append(jax.lax.dot_general(
+            ds16, k16[:, lo:lo + dh_dim],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dk_parts.append(jax.lax.dot_general(
+            ds16, q16[:, lo:lo + dh_dim],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale)
+        dv_parts.append(dv)
+    dq = jnp.concatenate(dq_parts, axis=-1)     # (Tp, D)
+    dk = jnp.concatenate(dk_parts, axis=-1)     # (Sp, D)
+    dv = jnp.concatenate(dv_parts, axis=-1)     # (Sp, D)
+
+    dq16 = dq.astype(jnp.bfloat16)
+    dk16 = dk.astype(jnp.bfloat16)
+    dv16 = dv.astype(jnp.bfloat16)
+    dwq = jax.lax.dot_general(
+        h16, dq16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwk = jax.lax.dot_general(
+        k_src, dk16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwv = jax.lax.dot_general(
+        v_src, dv16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dwqkv_ref[...] += jnp.concatenate([dwq, dwk, dwv], axis=-1)
+    dbqkv_ref[...] += jnp.concatenate(
+        [jnp.sum(dq, axis=0, keepdims=True),
+         jnp.sum(dk, axis=0, keepdims=True),
+         jnp.sum(dv, axis=0, keepdims=True)], axis=-1)
+
+    dk_src = jax.lax.dot_general(
+        dk16, w_qkv[:, d:2 * d],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv_src = jax.lax.dot_general(
+        dv16, w_qkv[:, 2 * d:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpk_ref[0] = dk_src[:pp].astype(dpk_ref.dtype)
+    dpv_ref[0] = dv_src[:pp].astype(dpv_ref.dtype)
+
+    dh = jax.lax.dot_general(
+        dq16, w_qkv[:, :d], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dh + dk_src[pp:] + dv_src[pp:]
+
+    dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dxhat = dh * gamma
+    mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
+    dx_ref[0] = (g + dx_ln).astype(dx_ref.dtype)
+
+
+def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
+                          w_out, mask, g, n_heads: int):
+    b, t, d = x.shape
+    p_len = pk.shape[1]
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
+    tp = _round_up(t, sub)
+    pp = _round_up(p_len, sub)
+    sp = pp + tp
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    gp = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
+    pkp = jnp.pad(pk, ((0, 0), (0, pp - p_len), (0, 0)))
+    pvp = jnp.pad(pv, ((0, 0), (0, pp - p_len), (0, 0)))
+
+    s_len = p_len + t
+    base = jnp.zeros((t, s_len), jnp.float32) if mask is None else \
+        jnp.broadcast_to(mask.astype(jnp.float32), (t, s_len))
+    full = jnp.full((tp, sp), -jnp.inf, jnp.float32)
+    full = jax.lax.dynamic_update_slice(full, base[:, :p_len], (0, 0))
+    full = jax.lax.dynamic_update_slice(full, base[:, p_len:], (0, pp))
+    full = full.at[t:, 0].set(0.0)
+
+    const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                        memory_space=pltpu.VMEM)
+    row = lambda ln: pl.BlockSpec((1, ln, d), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(_prefix_bwd_kernel, n_heads=n_heads),
+        grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[row(tp), row(pp), row(pp), const(d), const(d),
+                  const(d, 3 * d), const(3 * d), const(d, d),
+                  const(tp, sp), row(tp)],
+        out_specs=(row(tp), row(pp), row(pp), const(1, d), const(1, d),
+                   const(d, 3 * d), const(1, 3 * d), const(d, d),
+                   const(1, d)),
+        out_shape=(jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, pp, d), pk.dtype),
+                   jax.ShapeDtypeStruct((b, pp, d), pv.dtype),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32),
+                   jax.ShapeDtypeStruct((d, 3 * d), f32),
+                   jax.ShapeDtypeStruct((1, 3 * d), f32),
+                   jax.ShapeDtypeStruct((d, d), f32),
+                   jax.ShapeDtypeStruct((1, d), f32)),
+    )(xp, pkp.astype(x.dtype), pvp.astype(x.dtype), ln_scale, ln_bias,
+      w_qkv.astype(jnp.bfloat16), b_qkv, w_out.astype(jnp.bfloat16),
+      full, gp)
+    dx, dpk, dpv, dls, dlb, dwqkv, dbqkv, dwout, dbout = outs
+    return (dx[:, :t], dpk[:, :p_len], dpv[:, :p_len], dls[0], dlb[0],
+            dwqkv, dbqkv[0], dwout, dbout[0])

@@ -260,3 +260,48 @@ def test_adapter_text_parity():
         params, jnp.asarray(toks.astype(np.int32)), cfg,
         peft_cfg=peft_cfg, peft=peft_text, compute_dtype=jnp.float32))
     np.testing.assert_allclose(ours, ref_out, atol=3e-4, rtol=3e-3)
+
+
+def test_prefix_prompt_attention_parity():
+    """KV-prefix semantics match the reference's PromptedMultiheadAttention
+    (prompts concatenated to the PRE-projection key/value inputs,
+    models/clip/model.py:265-293)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import CLIPConfig
+    from lifelong_clip_tpu.models import clip as clip_fns
+    from lifelong_clip_tpu.models.convert import state_dict_to_params
+
+    ref = _ref_clip({"method": "prefix_prompt", "peft_encoder": "image"})
+    sd = {k: v.float().cpu().numpy() for k, v in ref.state_dict().items()}
+    cfg = CLIPConfig(embed_dim=32, image_size=32, patch_size=8,
+                     vision_width=64, vision_layers=2, vision_heads=1,
+                     context_length=16, vocab_size=100, text_width=64,
+                     text_heads=1, text_layers=2)
+    params, _ = state_dict_to_params(sd, cfg)
+
+    rng = np.random.default_rng(3)
+    b, t, p_len, d = 2, 9, 4, 64
+    x = rng.normal(size=(b, t, d)).astype(np.float32)
+    pk = rng.normal(size=(b, p_len, d)).astype(np.float32) * 0.3
+    pv = rng.normal(size=(b, p_len, d)).astype(np.float32) * 0.3
+
+    # reference: first visual block with prompt=(pk, pv); torch blocks are
+    # seq-first (L, N, E)
+    blk = ref.visual.transformer.resblocks[0]
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(1, 0, 2))
+        ref_out = blk(tx, prompt=(torch.from_numpy(pk),
+                                  torch.from_numpy(pv)))
+        ref_out = ref_out.numpy().transpose(1, 0, 2)
+
+    # ours: _block with the same layer-0 weights and kv_prefix dict —
+    # NOTE the reference applies prompts to the RAW block input (before
+    # ln_1), while our _block concatenates after ln_1... verify which.
+    blk0 = jax.tree.map(lambda a: a[0], params["vision"]["blocks"])
+    ours = clip_fns._block(
+        jnp.asarray(x), blk0, 1, None, None, None,
+        {"k": jnp.asarray(pk), "v": jnp.asarray(pv)}, "xla")
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=5e-4,
+                               rtol=5e-3)
