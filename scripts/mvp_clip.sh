@@ -1,8 +1,8 @@
 #!/bin/bash
 # MVP-CLIP (mask + visual prompts) online CL (reference scripts/mvp_clip.sh).
 DATASET="${1:-imagenet-r}"; shift || true
-SEEDS=("${@:-1 2 3 4 5}")
-for seed in $SEEDS; do
+SEEDS=("${@:-1}")
+for seed in "${SEEDS[@]}"; do
   python -m lifelong_clip_tpu.main \
     --method mvp-clip --dataset "$DATASET" \
     --n_tasks 5 --n 50 --m 10 --rnd_NM \
