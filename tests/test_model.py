@@ -197,3 +197,54 @@ def test_jit_and_grad_through_peft(tiny_params):
     flat = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
+def test_timm_vit_converter_and_variant():
+    """timm-layout state dict -> tower pytree; gelu/no-ln_pre variant runs
+    and the head comes back separately."""
+    from lifelong_clip_tpu.models.convert import timm_vit_to_params
+    rng = np.random.default_rng(0)
+    d, layers, patch, n_cls = 64, 2, 8, 10
+
+    sd = {
+        "cls_token": rng.normal(size=(1, 1, d)).astype(np.float32),
+        "pos_embed": rng.normal(size=(1, 17, d)).astype(np.float32),
+        "patch_embed.proj.weight": rng.normal(
+            size=(d, 3, patch, patch)).astype(np.float32),
+        "norm.weight": np.ones((d,), np.float32),
+        "norm.bias": np.zeros((d,), np.float32),
+        "head.weight": rng.normal(size=(n_cls, d)).astype(np.float32),
+        "head.bias": np.zeros((n_cls,), np.float32),
+    }
+    for i in range(layers):
+        p = f"blocks.{i}"
+        sd[f"{p}.norm1.weight"] = np.ones((d,), np.float32)
+        sd[f"{p}.norm1.bias"] = np.zeros((d,), np.float32)
+        sd[f"{p}.attn.qkv.weight"] = rng.normal(
+            size=(3 * d, d)).astype(np.float32) * 0.05
+        sd[f"{p}.attn.qkv.bias"] = np.zeros((3 * d,), np.float32)
+        sd[f"{p}.attn.proj.weight"] = rng.normal(
+            size=(d, d)).astype(np.float32) * 0.05
+        sd[f"{p}.attn.proj.bias"] = np.zeros((d,), np.float32)
+        sd[f"{p}.norm2.weight"] = np.ones((d,), np.float32)
+        sd[f"{p}.norm2.bias"] = np.zeros((d,), np.float32)
+        sd[f"{p}.mlp.fc1.weight"] = rng.normal(
+            size=(4 * d, d)).astype(np.float32) * 0.05
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros((4 * d,), np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = rng.normal(
+            size=(d, 4 * d)).astype(np.float32) * 0.05
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros((d,), np.float32)
+
+    params, cfg, head = timm_vit_to_params(sd)
+    assert cfg.act == "gelu" and not cfg.use_ln_pre
+    assert cfg.vision_layers == layers and cfg.patch_size == patch
+    assert head["w"].shape == (d, n_cls)
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    feats = clip_fns.encode_image(params, imgs, cfg,
+                                  compute_dtype=jnp.float32)
+    assert feats.shape == (2, d)
+    assert np.isfinite(np.asarray(feats)).all()
+    # identity proj: features == normed CLS
+    logits = np.asarray(feats) @ np.asarray(head["w"]) + \
+        np.asarray(head["b"])
+    assert logits.shape == (2, n_cls)
