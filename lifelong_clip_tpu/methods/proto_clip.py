@@ -37,6 +37,29 @@ from .engine import TrainState
 log = logging.getLogger("lifelong_clip_tpu")
 
 
+def displacement(Y1: np.ndarray, Y2: np.ndarray, embedding_old: np.ndarray,
+                 sigma: float) -> np.ndarray:
+    """Semantic-drift displacement field — faithful port of the reference's
+    ``Trainer_ProtoCLIP.displacement()`` (``Trainer_ProtoCLIP.py:441-450``).
+
+    ``Y1``/``Y2`` are the SAME samples embedded by the pre-task and
+    post-task model respectively (n, e); ``embedding_old`` holds the old
+    class prototypes (C, e). Each prototype moves by the Gaussian-kernel
+    weighted mean of the per-sample drifts ``Y2 - Y1`` — weights from the
+    squared distance between ``Y1`` and the prototype, with the reference's
+    ``+1e-5`` floor before row-normalization.
+    """
+    Y1 = np.asarray(Y1, np.float64)
+    Y2 = np.asarray(Y2, np.float64)
+    embedding_old = np.asarray(embedding_old, np.float64)
+    DY = Y2 - Y1                                                  # (n, e)
+    distance = ((Y1[None, :, :] - embedding_old[:, None, :]) ** 2
+                ).sum(axis=2)                                     # (C, n)
+    W = np.exp(-distance / (2 * sigma ** 2)) + 1e-5
+    W_norm = W / W.sum(axis=1, keepdims=True)
+    return W_norm @ DY                                            # (C, e)
+
+
 class Trainer_ProtoCLIP(OnlineTrainer):
 
     num_prompt = 10
@@ -78,6 +101,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                                     np.float64)
         self._have_proto = np.zeros((self.vocab.max_classes,), bool)
         self._task_samples: list = []
+        self._old_feats = None
 
         pipeline = preprocess.make_train_pipeline(
             self.clip_cfg.image_size, self.train_dataset.mean,
@@ -143,6 +167,22 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         self._eval_fn = eval_logits
 
+    # -- task boundary: pre-task old-model embeddings -------------------------
+    def online_before_task(self, task_id):
+        """Extract the INCOMING task's samples with the pre-task model
+        (reference ``compute_old_embedding()``, Trainer_ProtoCLIP.py:259-266)
+        so drift pairs the same images across the old/new model."""
+        idx = np.asarray(self.stream.task_indices[task_id], np.int64)
+        if self.cfg.debug:
+            idx = idx[:500]
+        self._sdc_idx = np.unique(idx)
+        if self._have_proto.any():
+            log.info("SDC: extracting %d samples with pre-task model",
+                     len(self._sdc_idx))
+            self._old_feats = self._batched_features(self._sdc_idx)
+        else:
+            self._old_feats = None
+
     # -- stage 1 ------------------------------------------------------------
     def online_step(self, images, labels, indices):
         cfg = self.cfg
@@ -167,23 +207,22 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
     # -- task boundary: prototypes + drift + stage 2 --------------------------
     def online_after_task(self, task_id):
-        if not self._task_samples:
+        idx = getattr(self, "_sdc_idx", None)
+        if idx is None:
+            idx = np.asarray(sorted(set(self._task_samples)), np.int64)
+        if len(idx) == 0:
             return
-        idx = np.asarray(sorted(set(self._task_samples)), np.int64)
         feats = self._batched_features(idx)
         labels = self.train_dataset.targets[idx]
 
-        # semantic drift compensation for old prototypes
-        # (reference displacement():441-450)
-        if self._have_proto.any() and hasattr(self, "_old_feats"):
-            old_f, new_f = self._old_feats, feats[:len(self._old_feats)]
-            for c in np.nonzero(self._have_proto)[0]:
-                mean = self._class_means[c]
-                d2 = ((old_f - mean) ** 2).sum(axis=1)
-                w = np.exp(-d2 / (2 * self.sigma_drift ** 2))
-                if w.sum() > 1e-8:
-                    delta = ((new_f - old_f) * w[:, None]).sum(0) / w.sum()
-                    self._class_means[c] = mean + delta
+        # semantic drift compensation: same samples under old vs new model
+        # shift the OLD prototypes (reference stage1_and_stage2():267-280 +
+        # displacement():441-450), applied before new prototypes are built
+        if self._old_feats is not None and self._have_proto.any():
+            slots = np.nonzero(self._have_proto)[0]
+            gap = displacement(self._old_feats, feats,
+                               self._class_means[slots], self.sigma_drift)
+            self._class_means[slots] += gap
 
         # per-class mean + covariance (one batched sweep; reference loops
         # a DataLoader per class at ~30 s/class)
@@ -195,7 +234,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             self._class_covs[slot] = cov + 1e-4 * np.eye(f.shape[1])
             self._have_proto[slot] = True
 
-        self._old_feats = feats
+        self._old_feats = None
         self._stage2()
         self.task_count += 1
         # CoPL pool re-orthogonalization at the task switch

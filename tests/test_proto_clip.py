@@ -1,5 +1,8 @@
 """ProtoCLIP model + trainer tests."""
 
+import ast
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,9 +10,43 @@ import pytest
 
 from lifelong_clip_tpu.models import proto_clip as pc
 from lifelong_clip_tpu.models.init import init_clip_params
-from lifelong_clip_tpu.methods.proto_clip import Trainer_ProtoCLIP
+from lifelong_clip_tpu.methods.proto_clip import (Trainer_ProtoCLIP,
+                                                  displacement)
 
 from test_engine import TINY, _TinyMixin, synth, tiny_cfg  # noqa: F401
+
+REFERENCE = "/root/reference/methods/Trainer_ProtoCLIP.py"
+
+
+def _reference_displacement():
+    """Extract the reference's pure-numpy displacement() method body via
+    ast (the module itself imports torch/sklearn; the function needs only
+    numpy and its arguments)."""
+    tree = ast.parse(open(REFERENCE).read())
+    fn = next(n for n in ast.walk(tree)
+              if isinstance(n, ast.FunctionDef) and n.name == "displacement")
+    ns = {"np": np}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), REFERENCE, "exec"),
+         ns)
+    return ns["displacement"]
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE),
+                    reason="reference tree unavailable")
+def test_displacement_matches_reference():
+    rng = np.random.default_rng(0)
+    Y1 = rng.normal(size=(40, 16))
+    Y2 = Y1 + rng.normal(scale=0.1, size=(40, 16))
+    old_means = rng.normal(size=(5, 16))
+    ref = _reference_displacement()(None, Y1, Y2, old_means, 4.0)
+    got = displacement(Y1, Y2, old_means, 4.0)
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-12)
+    # far-away prototypes still move (the +1e-5 floor dominates): every
+    # row of W normalizes to the unweighted mean drift in the limit
+    far = np.full((1, 16), 1e3)
+    got_far = displacement(Y1, Y2, far, 4.0)
+    np.testing.assert_allclose(got_far[0], (Y2 - Y1).mean(axis=0),
+                               atol=1e-8)
 
 
 @pytest.fixture(scope="module")
@@ -93,6 +130,53 @@ class TinyProto(_TinyMixin, Trainer_ProtoCLIP):
     num_prompt = 4
     num_sampled_pcls = 8
     ca_epochs = 1
+
+
+def test_sdc_pairs_same_samples_and_moves_only_old_protos(synth):  # noqa: F811
+    """Drift must pair the SAME samples under the old vs new model
+    (reference compute_old_embedding():259-266 + stage1_and_stage2():267-280)
+    and shift exactly the previously-seen prototypes by displacement()."""
+    train, test = synth
+    cfg = tiny_cfg(method="adapter-clip-proto_prompt", memory_size=0,
+                   online_iter=1)
+    tr = TinyProto(cfg, train_dataset=train, test_dataset=test)
+    tr._stage2 = lambda: None  # isolate the prototype/drift math
+
+    # task 0: no prototypes yet -> no old-model extraction
+    tr.online_before_task(0)
+    assert tr._old_feats is None
+    idx0 = tr._sdc_idx
+    tr.vocab.expose(train.targets[idx0])  # run() does this per batch
+    tr.online_after_task(0)
+    old_slots = np.nonzero(tr._have_proto)[0]
+    assert len(old_slots) > 0
+
+    # task 1: pre-task extraction runs on the incoming task's samples
+    tr.online_before_task(1)
+    assert tr._old_feats is not None
+    np.testing.assert_array_equal(tr._sdc_idx,
+                                  np.unique(tr.stream.task_indices[1][:500]))
+    tr.vocab.expose(train.targets[tr._sdc_idx])
+    old_feats = tr._old_feats.copy()
+    means_before = tr._class_means[old_slots].copy()
+
+    # make the "new model" features a deterministic shift of the old ones
+    shift = 0.25
+    tr._batched_features = lambda idx: old_feats + shift
+    tr.online_after_task(1)
+
+    expected_gap = displacement(old_feats, old_feats + shift,
+                                means_before, tr.sigma_drift)
+    task1_classes = np.unique(train.targets[tr._sdc_idx])
+    task1_slots = set(int(s) for s in tr.vocab.remap(task1_classes))
+    for i, slot in enumerate(old_slots):
+        if int(slot) in task1_slots:
+            continue  # re-seen classes get fresh prototypes afterwards
+        np.testing.assert_allclose(tr._class_means[slot],
+                                   means_before[i] + expected_gap[i],
+                                   rtol=1e-6, atol=1e-8)
+    # uniform drift of +shift everywhere moves every old prototype by it
+    np.testing.assert_allclose(expected_gap, shift, rtol=1e-6)
 
 
 def test_proto_trainer_two_stage_run(synth):  # noqa: F811
