@@ -68,8 +68,18 @@ def _adapter_apply(y, p, scale: float):
 
 
 def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
-           peft, kv_prefix, attn_impl: str, act: str = "quick_gelu"):
-    """One residual attention block; PEFT branches resolve at trace time."""
+           peft, kv_prefix, attn_impl: str, act: str = "quick_gelu",
+           prompt_ln: bool = False):
+    """One residual attention block; PEFT branches resolve at trace time.
+
+    ``prompt_ln`` selects sequence-append prompt semantics (reference
+    ``prompt_tuning``, models/mvp_clip.py:157-175): appended prompt tokens
+    pass through the block's ln_1 before becoming K/V. False = raw KV
+    prefix (reference ``PromptedMultiheadAttention``, model.py:265-293).
+    """
+    if kv_prefix is not None and prompt_ln:
+        kv_prefix = jax.tree.map(lambda t: layer_norm(t, blk["ln_1"]),
+                                 kv_prefix)
     lora = None
     adapter = None
     moe = None
@@ -181,17 +191,22 @@ def transformer(x,
                 layer_prompts=None,
                 layer_prompt_valid=None,
                 attn_impl: Optional[str] = None,
-                act: str = "quick_gelu"):
+                act: str = "quick_gelu",
+                prompt_ln: bool = False):
     """Scan the stacked residual blocks over the depth axis.
 
     ``blocks``/``peft``/``layer_prompts`` are layer-stacked pytrees
     (leading dim = n_layers). ``layer_prompts`` of shape (L, B, P, D) —
     or (L, P, D), broadcast over batch — are consumed as KV-side prefix
-    tokens per layer (prompt semantics of
-    ``PromptedMultiheadAttention``, reference model.py:265-293; also
-    equivalent to MVP's append-then-truncate prompt_tuning,
-    ``models/mvp_clip.py:158-175``, since truncated prompt-token outputs
-    only influence retained tokens through attention KV).
+    tokens per layer. Two prompt semantics exist in the reference and
+    ``prompt_ln`` selects between them: False = raw KV prefix
+    (``PromptedMultiheadAttention``, model.py:265-293); True = MVP's
+    append-then-truncate ``prompt_tuning`` (models/mvp_clip.py:157-175),
+    where appended tokens pass through each block's ln_1 before the
+    attention projections. Truncated prompt-token outputs only influence
+    retained tokens through attention KV, so per-layer KV injection plus
+    the ln_1 is exactly equivalent (parity-tested in
+    tests/test_reference_parity.py::test_mvp_prompt_tuning_parity).
 
     ``layer_prompt_valid`` (L, P) bool marks which prefix slots are live
     per layer — this lets pools with different prompt lengths per layer
@@ -223,7 +238,7 @@ def transformer(x,
         if "pmask" in sl:
             m = sl["pmask"] if m is None else m + sl["pmask"]
         h = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
-                   sl.get("prompts"), attn_impl, act)
+                   sl.get("prompts"), attn_impl, act, prompt_ln=prompt_ln)
         return h, None
 
     x, _ = jax.lax.scan(body, x, xs)

@@ -12,7 +12,10 @@ Parity target: reference ``models/mvp_clip.py`` (CLIP_MVP):
   * prompt injection: g-prompts at layers (0,1) ×5 tokens, selected
     e-prompt at layers (2,3,4) ×20 tokens, appended then truncated per
     block (``prompt_tuning:158-175``) — realized here as masked KV-prefix
-    slots inside the block scan (equivalent for retained tokens);
+    slots inside the block scan with ``prompt_ln=True`` (each block's ln_1
+    applied to the prompt tokens, exactly as the appended tokens receive
+    it in the reference; parity-tested in
+    tests/test_reference_parity.py::test_mvp_prompt_tuning_parity);
   * head: cosine logits × logit_scale, per-sample mask ``sigmoid(m)·2``
     (``:263-264``), similarity loss (contrastive or mean distance).
 
@@ -153,7 +156,8 @@ def mvp_features(frozen,
     vals, valid = _layer_prompt_tensors(
         mvp, sel_e, b, cfg.vision_layers, LEN_G, LEN_E, compute_dtype)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
-                             layer_prompts=vals, layer_prompt_valid=valid)
+                             layer_prompts=vals, layer_prompt_valid=valid,
+                             prompt_ln=True)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     img = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)

@@ -98,8 +98,9 @@ def dualprompt_forward(frozen, trainable, images, cfg: CLIPConfig, *,
                        train: bool, compute_dtype=jnp.bfloat16):
     """DualPrompt (prompt_tuning mode): g-prompt (pool of 1) at pos_g,
     query-selected e-prompt at pos_e, appended per layer then truncated
-    (reference dualprompt.py:149-173) — masked KV-prefix in the scan.
-    Head reads the CLS output."""
+    (reference dualprompt.py:149-173) — masked KV-prefix in the scan with
+    ``prompt_ln=True`` (appended tokens pass through each block's norm1 in
+    the reference). Head reads the CLS output."""
     query, x, v = vit_query(frozen, images, cfg, compute_dtype)
     b = x.shape[0]
     _, g_sel, _ = pool_select(trainable["g_pool"], query,
@@ -132,7 +133,8 @@ def dualprompt_forward(frozen, trainable, images, cfg: CLIPConfig, *,
 
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
                              layer_prompts=vals,
-                             layer_prompt_valid=jnp.asarray(valid))
+                             layer_prompt_valid=jnp.asarray(valid),
+                             prompt_ln=True)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     logits = jnp.einsum("bd,dc->bc", pooled.astype(jnp.float32),
                         trainable["head"]["w"], precision=_P) \

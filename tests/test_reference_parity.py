@@ -262,6 +262,86 @@ def test_adapter_text_parity():
     np.testing.assert_allclose(ours, ref_out, atol=3e-4, rtol=3e-3)
 
 
+def test_mvp_prompt_tuning_parity():
+    """Drive the reference's ACTUAL prompt_tuning loop (appended prompt
+    tokens pass through each block's ln_1, then outputs are truncated;
+    models/mvp_clip.py:157-175) against our masked KV-prefix scan with
+    prompt_ln=True on converted weights."""
+    import ast
+    import torch
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import CLIPConfig
+    from lifelong_clip_tpu.models import clip as clip_fns
+    from lifelong_clip_tpu.models.convert import state_dict_to_params
+    from lifelong_clip_tpu.models.mvp_clip import _layer_prompt_tensors
+
+    ref = _ref_clip({"method": "prefix_prompt", "peft_encoder": "image"})
+    sd = {k: v.float().cpu().numpy() for k, v in ref.state_dict().items()}
+    cfg = CLIPConfig(embed_dim=32, image_size=32, patch_size=8,
+                     vision_width=64, vision_layers=2, vision_heads=1,
+                     context_length=16, vocab_size=100, text_width=64,
+                     text_heads=1, text_layers=2)
+    params, _ = state_dict_to_params(sd, cfg)
+
+    # extract the reference's prompt_tuning method verbatim and bind it to
+    # a minimal namespace (it only reads backbone/len/pos attributes)
+    src = open(os.path.join(REFERENCE, "models", "mvp_clip.py")).read()
+    fn_node = next(n for n in ast.walk(ast.parse(src))
+                   if isinstance(n, ast.FunctionDef)
+                   and n.name == "prompt_tuning")
+    ns = {"torch": torch}
+    exec(compile(ast.Module(body=[fn_node], type_ignores=[]),
+                 "ref_mvp_clip", "exec"), ns)
+
+    class _NS:
+        pass
+
+    len_g, len_e = 3, 5
+    pos_g, pos_e = (0,), (1,)
+    holder = _NS()
+    holder.len_g_prompt = len_g
+    holder.len_e_prompt = len_e
+    holder.pos_g_prompt = torch.tensor(pos_g)
+    holder.pos_e_prompt = torch.tensor(pos_e)
+    backbone = _NS()
+    backbone.visual = ref.visual
+    holder.backbone = backbone
+
+    rng = np.random.default_rng(5)
+    b, t, d = 2, 9, 64
+    x = rng.normal(size=(b, t, d)).astype(np.float32)
+    g = rng.normal(size=(b, len(pos_g) * len_g, d)).astype(np.float32) * 0.4
+    e = rng.normal(size=(b, len(pos_e) * len_e, d)).astype(np.float32) * 0.4
+
+    with torch.no_grad():
+        ref_out = ns["prompt_tuning"](
+            holder, torch.from_numpy(x.transpose(1, 0, 2)),
+            torch.from_numpy(g), torch.from_numpy(e))
+        ref_out = ref_out.numpy().transpose(1, 0, 2)
+
+    fake_mvp = {"g_prompts": jnp.asarray(g[:1])}
+    vals, valid = _layer_prompt_tensors(
+        fake_mvp, jnp.asarray(e), b, cfg.vision_layers, len_g, len_e,
+        jnp.float32, pos_g=pos_g, pos_e=pos_e)
+    # g prompts are per-sample here (batch 2 shares sample 0's g in the
+    # fake tree); give every sample its own g like the reference call
+    g_full = jnp.asarray(g).reshape(b, len(pos_g), len_g, d)
+    for i, layer in enumerate(pos_g):
+        vals = vals.at[layer, :, :len_g].set(g_full[:, i])
+    ours = np.asarray(clip_fns.transformer(
+        jnp.asarray(x), params["vision"]["blocks"], cfg.vision_heads,
+        layer_prompts=vals, layer_prompt_valid=valid, prompt_ln=True,
+        attn_impl="xla"))
+    np.testing.assert_allclose(ours, ref_out, atol=5e-4, rtol=5e-3)
+
+    # teeth: raw KV-prefix (no ln_1 on prompts) must NOT match
+    raw = np.asarray(clip_fns.transformer(
+        jnp.asarray(x), params["vision"]["blocks"], cfg.vision_heads,
+        layer_prompts=vals, layer_prompt_valid=valid, prompt_ln=False,
+        attn_impl="xla"))
+    assert not np.allclose(raw, ref_out, atol=5e-4, rtol=5e-3)
+
+
 def test_prefix_prompt_attention_parity():
     """KV-prefix semantics match the reference's PromptedMultiheadAttention
     (prompts concatenated to the PRE-projection key/value inputs,
