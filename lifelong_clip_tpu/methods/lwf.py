@@ -1,11 +1,11 @@
 """Learning without Forgetting (LwF) — distillation from the previous model.
 
 Parity target: reference ``methods/lwf.py`` — the old model is snapshotted
-every online step (``online_step():50-51``) and training adds a
-temperature-2 KD term over the previously-seen class slots
-(``_KD_loss():112-115``). Here the "old model" is just the previous
-trainable pytree; the KD term rides inside the same jitted step (no second
-module, no ``no_grad`` bookkeeping).
+once at the END of every online step, after its ``online_iter`` train
+iterations (``online_step():50-51``), and training adds a temperature-2 KD
+term over the previously-seen class slots (``_KD_loss():112-115``). Here
+the "old model" is just the previous trainable pytree; the KD term rides
+inside the same jitted step (no second module, no ``no_grad`` bookkeeping).
 """
 
 from __future__ import annotations
@@ -83,15 +83,18 @@ class LwF(ER):
                  "labels": jnp.asarray(y, jnp.int32),
                  "mask": jnp.asarray(self.vocab.logit_mask())}
         stats = {}
-        for _ in range(max(int(cfg.online_iter), 1)):
-            if self._old_trainable is None:
-                # first step: distill from self (KD term = const offset)
-                self._old_trainable = self.state.trainable
-                self._old_mask = batch["mask"]
-            old = (self._old_trainable, self._old_mask)
-            # snapshot BEFORE the update (reference snapshots every step)
+        if self._old_trainable is None:
+            # first step: distill from self (KD term = const offset)
             self._old_trainable = self.state.trainable
             self._old_mask = batch["mask"]
+        old = (self._old_trainable, self._old_mask)
+        for _ in range(max(int(cfg.online_iter), 1)):
             self.state, stats = self._kd_step(self.state, batch, *old)
+        # snapshot once per online_step AFTER its online_iter loop — the
+        # reference deep-copies the model at the end of online_step
+        # (lwf.py:50-51), so every iteration of the NEXT step distills
+        # from this post-step model
+        self._old_trainable = self.state.trainable
+        self._old_mask = batch["mask"]
         self.update_memory(indices, labels[:len(indices)])
         return stats

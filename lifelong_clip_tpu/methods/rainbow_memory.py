@@ -23,7 +23,20 @@ from ..ops import preprocess
 from .base import pad_batch
 from .er_baseline import ER
 
-MC_VIEWS = 4
+# the reference's vr_randaug mode uses 12 RandAugment views
+# (montecarlo(), rainbow_memory.py:263-265)
+MC_VIEWS = 12
+
+
+def vote_ratio_uncertainty(view_preds, n_classes: int):
+    """Monte-Carlo vote-ratio uncertainty (reference ``variance_ratio``,
+    rainbow_memory.py:279-285): each augmented view votes its argmax class;
+    uncertainty = 1 − (max vote count) / n_views.
+
+    ``view_preds``: (V, B) int predicted classes per view. Returns (B,).
+    """
+    votes = jax.nn.one_hot(view_preds, n_classes).sum(axis=0)   # (B, C)
+    return 1.0 - votes.max(axis=-1) / view_preds.shape[0]
 
 
 class RM(ER):
@@ -34,8 +47,9 @@ class RM(ER):
 
         @jax.jit
         def mc_disagreement(frozen, trainable, images_u8, mask, rng):
-            """Uncertainty = how often augmented views disagree with the
-            majority prediction (vote instability)."""
+            """MC vote-ratio uncertainty: each augmented view votes its
+            argmax class; uncertainty = 1 − max vote ratio (reference
+            montecarlo + variance_ratio, rainbow_memory.py:244-285)."""
             pipeline = preprocess.make_train_pipeline(
                 self.clip_cfg.image_size, self.train_dataset.mean,
                 self.train_dataset.std, out_dtype=self.compute_dtype)
@@ -46,13 +60,11 @@ class RM(ER):
                 logits, _, _ = head_forward(
                     frozen, trainable, x, None, clip_cfg=self.clip_cfg,
                     compute_dtype=self.compute_dtype)
-                return jax.nn.softmax(logits + mask[None, :], axis=-1)
+                return jnp.argmax(logits + mask[None, :], axis=-1)
 
-            probs = jnp.stack([one_view(k) for k in
-                               jax.random.split(rng, MC_VIEWS)])
-            mean_probs = probs.mean(axis=0)
-            # low max-prob across views = high uncertainty
-            return 1.0 - jnp.max(mean_probs, axis=-1)
+            preds = jnp.stack([one_view(k) for k in
+                               jax.random.split(rng, MC_VIEWS)])  # (V, B)
+            return vote_ratio_uncertainty(preds, mask.shape[0])
 
         self._mc_uncertainty = mc_disagreement
         self._task_seen: list = []

@@ -62,6 +62,38 @@ def test_clib_run(synth):  # noqa: F811
     assert any(l != 0.0 for l in tr.memory.loss_history)
 
 
+def test_vote_ratio_uncertainty():
+    """Hand-built case where the reference's MC vote ratio and a
+    max-mean-softmax metric DISAGREE on which sample is more uncertain —
+    pins the implementation to the vote-ratio semantics
+    (reference variance_ratio, rainbow_memory.py:279-285)."""
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.methods.rainbow_memory import \
+        vote_ratio_uncertainty
+
+    # sample A: all 4 views vote class 0 (with low confidence)
+    # sample B: 3 views vote class 0 confidently, 1 view flips to class 1
+    probs = np.array([
+        [[0.90, 0.10], [0.95, 0.05]],
+        [[0.55, 0.45], [0.95, 0.05]],
+        [[0.55, 0.45], [0.95, 0.05]],
+        [[0.55, 0.45], [0.05, 0.95]],
+    ])  # (V=4, B=2, C=2)
+    preds = jnp.argmax(jnp.asarray(probs), axis=-1)           # (V, B)
+    unc = np.asarray(vote_ratio_uncertainty(preds, 2))
+    np.testing.assert_allclose(unc, [0.0, 0.25])              # B > A
+
+    # the old mean-softmax metric ranks them the OTHER way round
+    old = 1.0 - probs.mean(axis=0).max(axis=-1)
+    assert old[0] > old[1]
+    assert unc[1] > unc[0]
+
+    # degenerate: unanimous votes -> 0; maximal split -> 1 - 1/V
+    u2 = np.asarray(vote_ratio_uncertainty(
+        jnp.asarray([[2, 0], [2, 1], [2, 3], [2, 2]]), 4))
+    np.testing.assert_allclose(u2, [0.0, 0.75])
+
+
 def test_rm_run(synth):  # noqa: F811
     train, test = synth
     cfg = tiny_cfg(method="rm", memory_size=24, online_iter=1)
