@@ -126,6 +126,14 @@ class TrainConfig:
     memory_size: int = 0
     eval_period: int = 1000
     topk: int = 1
+    # regularization / memory-method knobs (reference config.py:57,77,83)
+    reg_coef: float = 100.0      # EWC++ penalty weight
+    memory_epoch: int = 0        # Rainbow Memory post-task epochs
+    imp_update_period: int = 1   # CLIB importance-update cadence
+    # CLIB adaptive-LR knobs (reference config.py:78-80)
+    lr_step: float = 0.95
+    lr_length: int = 10
+    lr_period: int = 10
     visible_classes: str = "batch"   # batch | all
     peft: PEFTConfig = dataclasses.field(default_factory=PEFTConfig)
     stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)

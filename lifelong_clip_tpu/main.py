@@ -48,6 +48,20 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--lora_r", type=int, default=4)
     p.add_argument("--lora_alpha", type=int, default=1)
     p.add_argument("--ffn_num", type=int, default=64)
+    # regularization / memory knobs (reference config.py:57,77,83)
+    p.add_argument("--reg_coef", type=float, default=100,
+                   help="weighting for the regularization loss term (EWC++)")
+    p.add_argument("--memory_epoch", type=int, default=0,
+                   help="post-task memory training epochs (Rainbow Memory)")
+    p.add_argument("--imp_update_period", type=int, default=1,
+                   help="period between importance updates (CLIB)")
+    # CLIB adaptive-LR knobs (reference config.py:78-80)
+    p.add_argument("--lr_step", type=float, default=0.95,
+                   help="step of iterating lr for adaptive LR")
+    p.add_argument("--lr_length", type=int, default=10,
+                   help="period of iterating lr for adaptive LR")
+    p.add_argument("--lr_period", type=int, default=10,
+                   help="period of iterating lr for adaptive LR")
     p.add_argument("--transforms", nargs="*", default=["cutmix", "autoaug"])
     p.add_argument("--data_dir", type=str, default="./data")
     p.add_argument("--log_path", type=str, default="results")
@@ -93,6 +107,9 @@ def args_to_config(args) -> TrainConfig:
         lr=args.lr, opt_name=args.opt_name, sched_name=args.sched_name,
         memory_size=args.memory_size, eval_period=args.eval_period,
         topk=args.topk, visible_classes=args.visible_classes,
+        reg_coef=args.reg_coef, memory_epoch=args.memory_epoch,
+        imp_update_period=args.imp_update_period, lr_step=args.lr_step,
+        lr_length=args.lr_length, lr_period=args.lr_period,
         peft=PEFTConfig(method="none", encoder=args.peft_encoder,
                         lora_r=args.lora_r, lora_alpha=args.lora_alpha,
                         adapter_dim=args.ffn_num),

@@ -34,8 +34,8 @@ class CLIB(ER):
         # adaptive LR needs a mutable learning rate -> inject_hyperparams
         cfg = self.cfg
         self._lr_high = cfg.lr
-        self._lr_low = cfg.lr * getattr(cfg, "lr_step", 0.95) ** \
-            getattr(cfg, "lr_length", 10)
+        # reference clib.py:37: low_lr = lr_step * lr
+        self._lr_low = cfg.lr_step * cfg.lr
         super().setup_model()
 
         fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
@@ -96,6 +96,7 @@ class CLIB(ER):
         self._high_hist, self._low_hist = [], []
         self._prev_losses = None
         self._train_count = 0
+        self._imp_counter = 0
         self._set_lr(self._lr_high)
 
     def _set_lr(self, lr: float):
@@ -136,8 +137,12 @@ class CLIB(ER):
         return stats
 
     def _samplewise_loss_update(self, batch_cap: int = 256):
-        """EMA-refresh the loss history over the whole memory
+        """EMA-refresh the loss history over the whole memory, every
+        ``imp_update_period`` model updates
         (reference samplewise_loss_update, clib.py:216-244)."""
+        self._imp_counter += 1
+        if self._imp_counter % max(self.cfg.imp_update_period, 1) != 0:
+            return
         n = len(self.memory)
         if n == 0:
             return
@@ -161,8 +166,12 @@ class CLIB(ER):
 
     def _adaptive_lr(self, significance: float = 0.05):
         cfg = self.cfg
-        period = getattr(cfg, "lr_period", 10) or 10
-        min_iter = getattr(cfg, "lr_length", 10) or 10
+        period = cfg.lr_period or 10
+        min_iter = cfg.lr_length or 10
+        # reference adaptive_lr gates on the importance-update counter
+        # (clib.py:136)
+        if self._imp_counter % max(cfg.imp_update_period, 1) != 0:
+            return
         self._train_count += 1
         if self._train_count % period != 0 or \
                 getattr(self, "_last_mem_losses", None) is None:
@@ -185,7 +194,7 @@ class CLIB(ER):
                 and len(self._high_hist) >= min_iter):
             _, p = ttest_ind(self._low_hist, self._high_hist,
                              equal_var=False, alternative="greater")
-            step = getattr(cfg, "lr_step", 0.95)
+            step = cfg.lr_step
             if p < significance:      # low LR decreased loss more
                 self._lr_high = self._lr_low
                 self._lr_low *= step

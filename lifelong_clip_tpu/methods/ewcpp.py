@@ -34,7 +34,7 @@ class EWCpp(ER):
     def setup_model(self):
         super().setup_model()
         cfg = self.cfg
-        self.reg_coef = getattr(cfg, "reg_coef", 100.0) or 100.0
+        self.reg_coef = float(cfg.reg_coef)  # --reg_coef (config.py:57)
         zeros = jax.tree.map(jnp.zeros_like, self.state.trainable)
         self.ewc_state = {
             "fisher": zeros,

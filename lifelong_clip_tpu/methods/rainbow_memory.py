@@ -93,7 +93,8 @@ class RM(ER):
         cfg = self.cfg
         if cfg.memory_size > 0:
             self._rebuild_memory_by_uncertainty()
-            self._memory_train_epochs()
+            if cfg.memory_epoch > 0:
+                self._memory_train_epochs()
         self._task_seen = []
 
     def _uncertainties(self, indices: np.ndarray) -> np.ndarray:
@@ -143,7 +144,7 @@ class RM(ER):
 
     def _memory_train_epochs(self):
         cfg = self.cfg
-        epochs = getattr(cfg, "memory_epoch", 0) or 1
+        epochs = int(cfg.memory_epoch)  # --memory_epoch (config.py:83)
         n = len(self.memory)
         if n == 0:
             return

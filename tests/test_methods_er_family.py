@@ -62,6 +62,47 @@ def test_clib_run(synth):  # noqa: F811
     assert any(l != 0.0 for l in tr.memory.loss_history)
 
 
+def test_cli_knobs_reach_config():
+    """--lr_step/--lr_period/--lr_length/--reg_coef/--memory_epoch/
+    --imp_update_period must land in TrainConfig (VERDICT r1 item 5)."""
+    from lifelong_clip_tpu.main import args_to_config, base_parser
+    args = base_parser().parse_args(
+        ["--lr_step", "0.5", "--lr_period", "7", "--lr_length", "3",
+         "--reg_coef", "42", "--memory_epoch", "2",
+         "--imp_update_period", "4"])
+    cfg = args_to_config(args)
+    assert cfg.lr_step == 0.5 and cfg.lr_period == 7 and cfg.lr_length == 3
+    assert cfg.reg_coef == 42 and cfg.memory_epoch == 2
+    assert cfg.imp_update_period == 4
+
+
+def test_clib_adaptive_lr_honors_knobs(synth):  # noqa: F811
+    """Non-default lr_step changes the LR pair and the t-test re-centering
+    (reference clib.py:37 low_lr = lr_step * lr, and :160-190)."""
+    train, test = synth
+    cfg = tiny_cfg(method="clib", memory_size=32, online_iter=1,
+                   lr_step=0.5, lr_period=2, lr_length=4)
+    tr = TinyCLIB(cfg, train_dataset=train, test_dataset=test)
+    assert np.isclose(tr._lr_low, 0.5 * cfg.lr)      # not 0.95 * lr
+
+    # drive the machinery to a period boundary with histories that make
+    # the low LR win the Welch t-test -> geometric re-centering by lr_step
+    tr._last_mem_losses = np.ones(8)
+    tr._prev_losses = np.full(8, 2.0)                 # appends decrease 1.0
+    tr._train_count = 21                              # next call: 22 % 2 == 0
+    tr._lr_is_high = True
+    tr._high_hist = [0.0, 0.1, -0.1]                  # + 1.0 appended -> 4
+    tr._low_hist = [2.0, 2.1, 1.9, 2.05]
+    lr_high_before = tr._lr_high
+    tr._adaptive_lr()
+    assert np.isclose(tr._lr_high, 0.5 * lr_high_before)
+    assert np.isclose(tr._lr_low, 0.25 * lr_high_before)
+    # and the live optimizer LR reflects the switch
+    live = float(np.asarray(
+        tr.state.opt_state.hyperparams["learning_rate"]))
+    assert np.isclose(live, tr._lr_low) or np.isclose(live, tr._lr_high)
+
+
 def test_vote_ratio_uncertainty():
     """Hand-built case where the reference's MC vote ratio and a
     max-mean-softmax metric DISAGREE on which sample is more uncertain —
@@ -96,7 +137,8 @@ def test_vote_ratio_uncertainty():
 
 def test_rm_run(synth):  # noqa: F811
     train, test = synth
-    cfg = tiny_cfg(method="rm", memory_size=24, online_iter=1)
+    cfg = tiny_cfg(method="rm", memory_size=24, online_iter=1,
+                   memory_epoch=1)
     tr = TinyRM(cfg, train_dataset=train, test_dataset=test)
     out = tr.run()
     assert np.isfinite(out["A_last"])
