@@ -32,6 +32,11 @@ class CLIPConfig:
     # timm/AugReg ViTs use exact GELU and no ln_pre
     act: str = "quick_gelu"        # quick_gelu | gelu
     use_ln_pre: bool = True
+    # visual tower family: "vit" (transformer) or "rn" (ModifiedResNet,
+    # reference model.py:113-191). For "rn", vision_layers is a 4-tuple of
+    # stage depths, vision_width the stem width, and vision_heads the
+    # attention-pool head count (width * 32 // 64, model.py:808).
+    tower: str = "vit"
 
     @property
     def grid_size(self) -> int:
@@ -54,6 +59,28 @@ CLIP_PRESETS = {
     # models/l2p.py:23-31): exact GELU, no ln_pre; text tower unused
     "vit_base_patch16_224": dataclasses.replace(
         CLIPConfig(), embed_dim=768, act="gelu", use_ln_pre=False),
+    # ModifiedResNet family (reference model.py:113-191; shapes per the
+    # OpenAI checkpoints the reference loader names at clip_loader.py:20-31)
+    "RN50": CLIPConfig(embed_dim=1024, image_size=224, vision_width=64,
+                       vision_layers=(3, 4, 6, 3), vision_heads=32,
+                       text_width=512, text_heads=8, text_layers=12,
+                       tower="rn"),
+    "RN101": CLIPConfig(embed_dim=512, image_size=224, vision_width=64,
+                        vision_layers=(3, 4, 23, 3), vision_heads=32,
+                        text_width=512, text_heads=8, text_layers=12,
+                        tower="rn"),
+    "RN50x4": CLIPConfig(embed_dim=640, image_size=288, vision_width=80,
+                         vision_layers=(4, 6, 10, 6), vision_heads=40,
+                         text_width=640, text_heads=10, text_layers=12,
+                         tower="rn"),
+    "RN50x16": CLIPConfig(embed_dim=768, image_size=384, vision_width=96,
+                          vision_layers=(6, 8, 18, 8), vision_heads=48,
+                          text_width=768, text_heads=12, text_layers=12,
+                          tower="rn"),
+    "RN50x64": CLIPConfig(embed_dim=1024, image_size=448, vision_width=128,
+                          vision_layers=(3, 15, 36, 10), vision_heads=64,
+                          text_width=1024, text_heads=16, text_layers=12,
+                          tower="rn"),
 }
 
 

@@ -274,7 +274,18 @@ def encode_image(params,
     Returns the projected CLS embedding (B, embed_dim); with
     ``return_tokens`` also the final token sequence (for prompt-pool query
     extraction, cf. ``get_patch_feature`` at reference model.py:731-753).
+
+    ``cfg.tower == "rn"`` dispatches to the ModifiedResNet tower
+    (reference model.py:113-191) — which, like the reference's, carries no
+    PEFT subtrees (PEFT block swaps happen only in ``Transformer``,
+    model.py:639-683).
     """
+    if getattr(cfg, "tower", "vit") == "rn":
+        assert peft is None and layer_prompts is None and not return_tokens,\
+            "the ModifiedResNet tower takes no PEFT/prompt subtrees"
+        from .resnet import rn_encode_image
+        return rn_encode_image(params, images, cfg,
+                               compute_dtype=compute_dtype)
     v = _cast_tree(params["vision"], compute_dtype)
     pv = _cast_tree(peft, compute_dtype) if peft is not None else None
     x = extract_patches(images.astype(compute_dtype), cfg.patch_size)

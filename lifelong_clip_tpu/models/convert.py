@@ -39,28 +39,54 @@ def _is_jit_archive(path: str) -> bool:
 
 
 def infer_config(sd) -> CLIPConfig:
-    """Shape-driven architecture inference (reference model.py:1005-1044)."""
-    vision_width = sd["visual.conv1.weight"].shape[0]
-    patch_size = sd["visual.conv1.weight"].shape[-1]
-    vision_layers = len({k.split(".")[2] for k in sd
-                         if k.startswith("visual.transformer.resblocks")})
-    grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+    """Shape-driven architecture inference (reference model.py:1005-1044).
+
+    ViT checkpoints are identified by ``visual.proj`` (reference
+    ``build_model:1006``); otherwise the ModifiedResNet branch reads stage
+    depths from the ``visual.layerN`` key families (``:1019-1033``).
+    """
     embed_dim = sd["text_projection"].shape[1]
     text_width = sd["ln_final.weight"].shape[0]
     text_layers = len({k.split(".")[2] for k in sd
                        if k.startswith("transformer.resblocks")})
-    return CLIPConfig(
+    text_kw = dict(
         embed_dim=embed_dim,
-        image_size=grid * patch_size,
-        patch_size=patch_size,
-        vision_width=vision_width,
-        vision_layers=vision_layers,
-        vision_heads=vision_width // 64,
         context_length=sd["positional_embedding"].shape[0],
         vocab_size=sd["token_embedding.weight"].shape[0],
         text_width=text_width,
         text_heads=text_width // 64,
         text_layers=text_layers,
+    )
+    if "visual.proj" in sd:  # ViT
+        vision_width = sd["visual.conv1.weight"].shape[0]
+        patch_size = sd["visual.conv1.weight"].shape[-1]
+        vision_layers = len({k.split(".")[2] for k in sd
+                             if k.startswith("visual.transformer.resblocks")})
+        grid = int(round(
+            (sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+        return CLIPConfig(
+            image_size=grid * patch_size,
+            patch_size=patch_size,
+            vision_width=vision_width,
+            vision_layers=vision_layers,
+            vision_heads=vision_width // 64,
+            **text_kw,
+        )
+    # ModifiedResNet
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}")})
+        for b in (1, 2, 3, 4))
+    vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+    output_width = int(round(
+        (sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5))
+    return CLIPConfig(
+        image_size=output_width * 32,
+        patch_size=32,  # unused for rn; keeps grid_size well-defined
+        vision_width=vision_width,
+        vision_layers=counts,
+        vision_heads=vision_width * 32 // 64,
+        tower="rn",
+        **text_kw,
     )
 
 
@@ -97,6 +123,14 @@ def state_dict_to_params(sd, cfg: CLIPConfig = None):
     """Returns (params, cfg). ``sd``: str->np.ndarray state dict."""
     import jax.numpy as jnp
     cfg = cfg or infer_config(sd)
+    if cfg.tower == "rn":
+        from .resnet import rn_state_dict_to_vision
+        params = {
+            "vision": rn_state_dict_to_vision(sd),
+            "text": _text_params(sd, cfg),
+            "logit_scale": jnp.asarray(sd["logit_scale"]),
+        }
+        return params, cfg
     conv = sd["visual.conv1.weight"]  # (W, 3, P, P)
     # our patch vectors are flattened (ph, pw, c): reorder kernel to match
     patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, conv.shape[0])
@@ -113,17 +147,22 @@ def state_dict_to_params(sd, cfg: CLIPConfig = None):
                         _ln(sd, "visual.ln_post").items()},
             "proj": jnp.asarray(sd["visual.proj"]),
         },
-        "text": {
-            "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
-            "pos_embed": jnp.asarray(sd["positional_embedding"]),
-            "blocks": _stack_blocks(sd, "transformer", cfg.text_layers),
-            "ln_final": {k: jnp.asarray(v) for k, v in
-                         _ln(sd, "ln_final").items()},
-            "text_projection": jnp.asarray(sd["text_projection"]),
-        },
+        "text": _text_params(sd, cfg),
         "logit_scale": jnp.asarray(sd["logit_scale"]),
     }
     return params, cfg
+
+
+def _text_params(sd, cfg: CLIPConfig):
+    import jax.numpy as jnp
+    return {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+        "pos_embed": jnp.asarray(sd["positional_embedding"]),
+        "blocks": _stack_blocks(sd, "transformer", cfg.text_layers),
+        "ln_final": {k: jnp.asarray(v) for k, v in
+                     _ln(sd, "ln_final").items()},
+        "text_projection": jnp.asarray(sd["text_projection"]),
+    }
 
 
 def load_clip_params(path: str):

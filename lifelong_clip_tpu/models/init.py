@@ -54,8 +54,15 @@ def _blocks(rng, layers: int, width: int):
 
 def init_clip_params(rng, cfg: CLIPConfig):
     kv, kt, k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 8)
-    vw, tw = cfg.vision_width, cfg.text_width
-    vscale, tscale = vw ** -0.5, tw ** -0.5
+    vw = cfg.vision_width
+    vscale = vw ** -0.5
+    if cfg.tower == "rn":
+        from .resnet import init_rn_params
+        return {
+            "vision": init_rn_params(kv, cfg),
+            "text": _text_tree(kt, k5, k6, cfg),
+            "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
+        }
     patch_dim = cfg.patch_size * cfg.patch_size * 3
     return {
         "vision": {
@@ -71,17 +78,22 @@ def init_clip_params(rng, cfg: CLIPConfig):
             "proj": vscale * jax.random.normal(
                 k4, (vw, cfg.embed_dim), jnp.float32),
         },
-        "text": {
-            "token_embedding": 0.02 * jax.random.normal(
-                k5, (cfg.vocab_size, tw), jnp.float32),
-            "pos_embed": 0.01 * jax.random.normal(
-                k6, (cfg.context_length, tw), jnp.float32),
-            "blocks": _blocks(kt, cfg.text_layers, tw),
-            "ln_final": _ln(tw),
-            "text_projection": tscale * jax.random.normal(
-                jax.random.fold_in(kt, 7), (tw, cfg.embed_dim), jnp.float32),
-        },
+        "text": _text_tree(kt, k5, k6, cfg),
         "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
+    }
+
+
+def _text_tree(kt, k5, k6, cfg: CLIPConfig):
+    tw = cfg.text_width
+    return {
+        "token_embedding": 0.02 * jax.random.normal(
+            k5, (cfg.vocab_size, tw), jnp.float32),
+        "pos_embed": 0.01 * jax.random.normal(
+            k6, (cfg.context_length, tw), jnp.float32),
+        "blocks": _blocks(kt, cfg.text_layers, tw),
+        "ln_final": _ln(tw),
+        "text_projection": (tw ** -0.5) * jax.random.normal(
+            jax.random.fold_in(kt, 7), (tw, cfg.embed_dim), jnp.float32),
     }
 
 
