@@ -172,6 +172,7 @@ class OnlineTrainer:
             return correct, total
         bs = self.cfg.test_batchsize
         self.prepare_eval()
+        all_labels, all_preds = [], []
         for lo in range(0, len(idx), bs):
             chunk = idx[lo:lo + bs]
             images, labels = self.test_dataset.gather(chunk)
@@ -186,6 +187,13 @@ class OnlineTrainer:
             c, t = per_class_counts(preds, labels, self.n_classes)
             correct += c
             total += t
+            all_labels.append(labels)
+            all_preds.append(preds)
+        # kept for the seed_k_confusion_matrix.npy artifact (the reference
+        # saves the LAST eval's matrix, _trainer.py:363-365)
+        from ..utils.metrics import confusion_matrix
+        self._last_confusion = confusion_matrix(
+            np.concatenate(all_labels), np.concatenate(all_preds))
         return correct, total
 
     def prepare_eval(self):
@@ -231,6 +239,10 @@ class OnlineTrainer:
         return d
 
     def save_result(self):
+        """Artifacts schema-compatible with reference save_result
+        (_trainer.py:359-389): seed_k*.npy accuracy curves, the last eval's
+        confusion matrix, and result.txt in the reference's exact text
+        format. Machine-readable JSON lines go to result.jsonl."""
         out = self.metrics.summary()
         d = self.result_dir()
         seed = self.cfg.seed
@@ -240,7 +252,19 @@ class OnlineTrainer:
                 np.asarray(self.eval_records["acc"]))
         np.save(os.path.join(d, f"seed_{seed}_eval_time.npy"),
                 np.asarray(self.eval_records["time"]))
-        with open(os.path.join(d, "result.txt"), "a") as f:
+        cm = getattr(self, "_last_confusion", None)
+        if cm is not None:
+            np.save(os.path.join(d, f"seed_{seed}_confusion_matrix.npy"), cm)
+        task_acc = [float(a) for a in self.metrics.task_acc]
+        cls_acc = [[float(x) for x in a] for a in self.metrics.task_cls_acc]
+        with open(os.path.join(d, "result.txt"), "w") as f:
+            f.write(f"Dataset:{self.cfg.dataset} | A_auc {out['A_auc']:.5f}"
+                    f" | A_avg {out['A_avg']:.5f}"
+                    f" | A_last {out['A_last']:.5f}"
+                    f" | F_last {out['F_last']:.5f}\n")
+            f.write(f"task_acc:{task_acc}\n")
+            f.write(f"per_task_acc:{cls_acc}")
+        with open(os.path.join(d, "result.jsonl"), "a") as f:
             f.write(json.dumps({"seed": seed, **out}) + "\n")
         log.info("result: %s", out)
         return out

@@ -81,4 +81,10 @@ def run_zero_shot_eval(trainer, dataset_names, *,
         results[name] = acc
         log.info("zero-shot %s: acc %.4f (%d samples)", name, acc,
                  int(total.sum()))
+        # append the reference's zero-shot line format to result.txt
+        # (_trainer.py:391-401)
+        import os
+        with open(os.path.join(trainer.result_dir(), "result.txt"),
+                  "a") as f:
+            f.write(f"Dataset:{name} | test_acc:{acc:.4f}\n")
     return results

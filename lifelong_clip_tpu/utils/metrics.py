@@ -94,6 +94,21 @@ def per_class_counts(preds: np.ndarray, labels: np.ndarray,
     return correct.astype(np.int64), total.astype(np.int64)
 
 
+def confusion_matrix(labels: np.ndarray, preds: np.ndarray) -> np.ndarray:
+    """sklearn-compatible confusion matrix: rows = true, cols = predicted,
+    over the sorted union of observed label/prediction values (the layout
+    the reference saves via sklearn at adapter_clip.py:167 and
+    _trainer.py:363-365)."""
+    labels = np.asarray(labels, np.int64)
+    preds = np.asarray(preds, np.int64)
+    classes = np.unique(np.concatenate([labels, preds]))
+    lut = np.zeros((int(classes.max()) + 1,), np.int64)
+    lut[classes] = np.arange(len(classes))
+    cm = np.zeros((len(classes), len(classes)), np.int64)
+    np.add.at(cm, (lut[labels], lut[preds]), 1)
+    return cm
+
+
 def topk_accuracy(logits: np.ndarray, labels: np.ndarray, k: int = 1):
     """Top-k accuracy (reference utils/metric.py:91-105)."""
     topk = np.argsort(-logits, axis=-1)[:, :k]

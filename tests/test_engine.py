@@ -90,6 +90,31 @@ def test_zero_shot_run(synth):
     assert len(tr.metrics.task_acc) == 2
     assert len(tr.vocab) == 8  # all classes exposed after the stream
 
+    # artifact parity: a parser written against the REFERENCE's result.txt
+    # format (_trainer.py:386-389) must read this run's file
+    import ast
+    import os
+    import re
+    d = tr.result_dir()
+    lines = open(os.path.join(d, "result.txt")).read().splitlines()
+    m = re.fullmatch(
+        r"Dataset:(\S+) \| A_auc ([\d.]+) \| A_avg ([\d.]+) "
+        r"\| A_last ([\d.]+) \| F_last (-?[\d.eE+-]+)", lines[0])
+    assert m, lines[0]
+    assert float(m.group(2)) == round(out["A_auc"], 5)
+    task_acc = ast.literal_eval(lines[1].split("task_acc:", 1)[1])
+    per_task = ast.literal_eval(lines[2].split("per_task_acc:", 1)[1])
+    assert len(task_acc) == cfg.stream.n_tasks
+    assert len(per_task) == cfg.stream.n_tasks
+
+    # confusion-matrix artifact (reference _trainer.py:363-365)
+    cm = np.load(os.path.join(d, f"seed_{cfg.seed}_confusion_matrix.npy"))
+    assert cm.ndim == 2 and cm.shape[0] == cm.shape[1]
+    # the final eval sweeps every test sample of an exposed class
+    from lifelong_clip_tpu.utils.stream import exposed_test_indices
+    n_eval = len(exposed_test_indices(test.targets, tr.vocab.exposed))
+    assert int(cm.sum()) == n_eval
+
 
 def test_lora_online_run_loss_decreases(synth):
     train, test = synth

@@ -121,3 +121,21 @@ def test_class_vocab_state_roundtrip():
     v2.load_state_dict(st)
     assert v2.exposed == [3, 1, 5]
     np.testing.assert_array_equal(v2.token_table, v.token_table)
+
+
+def test_confusion_matrix_matches_sklearn():
+    """The cm artifact must use sklearn's layout (rows=true, cols=pred over
+    sorted observed classes) — the reference saves sklearn's output
+    (adapter_clip.py:167, _trainer.py:363-365)."""
+    import numpy as np
+    from lifelong_clip_tpu.utils.metrics import confusion_matrix
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 7, 200)
+    preds = rng.integers(0, 9, 200)  # predictions include unseen classes
+    got = confusion_matrix(labels, preds)
+    try:
+        from sklearn.metrics import confusion_matrix as sk_cm
+    except ImportError:
+        assert got.sum() == 200
+        return
+    np.testing.assert_array_equal(got, sk_cm(labels, preds))
