@@ -6,8 +6,9 @@ in eager PyTorch (methods/adapter_clip.py:63-113). Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 Baseline note: the reference repo publishes no throughput numbers
-(SURVEY §6). vs_baseline is computed against a measured PyTorch-eager
-estimate recorded in BASELINE.md when available, else reported as 0.0.
+(SURVEY §6). vs_baseline is the MEASURED same-hardware CPU ratio from
+tools/bench_reference_cpu.py (tools/cpu_baseline.json) when present, else
+0.0 — never a guessed number.
 """
 
 import json
@@ -83,18 +84,32 @@ def main():
     step_ms = dt / iters * 1e3
     samples_per_sec = batch_size * iters / dt
 
-    # Reference-eager estimate (PyTorch ViT-B/16 LoRA online step, bs=64,
-    # single accelerator): no number is published in the repo (SURVEY §6);
-    # BASELINE.md carries none, so report the raw ratio vs a conservative
-    # 185 samples/s eager-GPU figure for context until a measured baseline
-    # lands in BASELINE.md.
-    baseline_sps = 185.0
+    # vs_baseline: the reference publishes no throughput numbers (SURVEY
+    # §6) and is CUDA/CPU-only, so the only MEASURED ratio is same-hardware
+    # CPU vs CPU — the train-core ratio from tools/bench_reference_cpu.py
+    # (XLA-CPU step time / torch-CPU step time at identical config),
+    # persisted in tools/cpu_baseline.json. Reported as measured, or 0.0
+    # if the probe has not been run. The TPU throughput above is the
+    # headline value; it has no same-hardware reference counterpart.
+    import os
+    vs_baseline = 0.0
+    note = "no measured baseline (run tools/bench_reference_cpu.py)"
+    cpu_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "cpu_baseline.json")
+    if os.path.exists(cpu_json):
+        with open(cpu_json) as f:
+            cpu = json.load(f)
+        vs_baseline = cpu["train_core_ratio_xla_over_torch"]
+        note = ("measured same-hardware CPU ratio (torch train-core ms / "
+                "XLA-CPU train-core ms at identical config; see "
+                "tools/cpu_baseline.json — NOT a TPU-vs-GPU claim)")
     print(json.dumps({
         "metric": "online_cl_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
         "unit": "samples/s (ViT-B/16 LoRA online step, bs=64, CIFAR "
                 "inputs, incl. fused AutoAugment pipeline)",
-        "vs_baseline": round(samples_per_sec / baseline_sps, 3),
+        "vs_baseline": vs_baseline,
+        "vs_baseline_note": note,
         "p50_step_ms": round(step_ms, 2),
     }))
 
