@@ -161,6 +161,11 @@ class TrainConfig:
     lr_step: float = 0.95
     lr_length: int = 10
     lr_period: int = 10
+    # epochs per task (reference --epochNum, default 6 there; the online
+    # protocol default here is one pass per task)
+    epoch_num: int = 1
+    # class-name prompt template (reference --text_template)
+    text_template: str = "a bad photo of a {}."
     visible_classes: str = "batch"   # batch | all
     peft: PEFTConfig = dataclasses.field(default_factory=PEFTConfig)
     stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)

@@ -79,6 +79,30 @@ def base_parser() -> argparse.ArgumentParser:
                    help="save resume checkpoints at task boundaries")
     p.add_argument("--resume_from", type=str, default="",
                    help="restore a run from this checkpoint dir")
+    # epochs per task (reference --epochNum; its default is 6 — kept at 1
+    # here so the default run is a true single-pass online stream)
+    p.add_argument("--epochNum", type=int, default=1)
+    p.add_argument("--text_template", type=str,
+                   default="a bad photo of a {}.")
+    # ProtoCLIP knobs (reference config.py:24-40)
+    p.add_argument("--num_prompt", type=int, default=10)
+    p.add_argument("--n_ctx", type=int, default=12)
+    p.add_argument("--topK", type=int, default=2)
+    p.add_argument("--num_sampled_pcls", type=int, default=64)
+    p.add_argument("--ca", type=bool, default=True)
+    p.add_argument("--ssca", type=bool, default=True)
+    p.add_argument("--ca_epochs", type=int, default=5)
+    p.add_argument("--selection_size", type=int, default=1)
+    # accepted for reference-script compatibility; architecture makes them
+    # moot here (bf16 policy replaces AMP; augmentation is always fused
+    # on device; SPMD replaces process-level GPU counts)
+    p.add_argument("--use_amp", action="store_true", default=False)
+    p.add_argument("--gpu_transform", action="store_true", default=False)
+    p.add_argument("--num_gpus", type=int, default=1)
+    p.add_argument("--workers_per_gpu", type=int, default=1)
+    p.add_argument("--gpt_dir", type=str, default="datasets/gpt/gpt_data")
+    p.add_argument("--init_model", action="store_true", default=False)
+    p.add_argument("--init_opt", action="store_true", default=False)
     # MVP flags (reference configuration/config.py:96-105)
     p.add_argument("--use_mask", action="store_true", default=False)
     p.add_argument("--use_contrastiv", action="store_true", default=False)
@@ -121,23 +145,37 @@ def args_to_config(args) -> TrainConfig:
                           f"{args.peft_encoder}_{args.seed}",
         debug=args.debug, mesh_shape=mesh, n_worker=args.n_worker,
         seed=args.seed, profile=args.profile, ckpt_dir=args.ckpt_dir,
-        resume_from=args.resume_from)
+        resume_from=args.resume_from, epoch_num=args.epochNum,
+        text_template=args.text_template)
+
+
+# method-behavior flags map onto trainer class attributes (the reference
+# wires them through kwargs; here the trainer classes carry the defaults).
+# flag name -> class attribute name
+_ATTR_FLAGS = {
+    "use_mask": "use_mask", "use_contrastiv": "use_contrastiv",
+    "use_afs": "use_afs", "use_gsf": "use_gsf",
+    "use_last_layer": "use_last_layer", "alpha": "alpha",
+    "gamma": "gamma", "margin": "margin",
+    "num_prompt": "num_prompt", "n_ctx": "n_ctx", "topK": "top_k",
+    "num_sampled_pcls": "num_sampled_pcls", "ca": "ca", "ssca": "ssca",
+    "ca_epochs": "ca_epochs", "selection_size": "selection_size",
+}
 
 
 def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s")
-    args = base_parser().parse_args(argv)
+    parser = base_parser()
+    args = parser.parse_args(argv)
     cfg = args_to_config(args)
     from .methods import get_method
     trainer_cls = get_method(cfg.method)
-    # MVP behavior flags map onto class attributes (reference wires them
-    # through kwargs; here the trainer classes carry the defaults)
-    overrides = {k: getattr(args, k) for k in
-                 ("use_mask", "use_contrastiv", "use_afs", "use_gsf",
-                  "use_last_layer", "alpha", "gamma", "margin")
-                 if hasattr(trainer_cls, k) and getattr(args, k)}
+    overrides = {attr: getattr(args, flag)
+                 for flag, attr in _ATTR_FLAGS.items()
+                 if hasattr(trainer_cls, attr)
+                 and getattr(args, flag) != parser.get_default(flag)}
     if overrides:
         trainer_cls = type(trainer_cls.__name__, (trainer_cls,), overrides)
     trainer = trainer_cls(cfg, synthetic_fallback=args.synthetic_fallback)

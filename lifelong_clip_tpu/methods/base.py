@@ -60,7 +60,8 @@ class OnlineTrainer:
 
         max_classes = cfg.max_classes or self.n_classes
         self.vocab = ClassVocabulary(self.train_dataset.class_names,
-                                     max_classes=max_classes)
+                                     max_classes=max_classes,
+                                     template=cfg.text_template)
         self.memory = ReplayMemory(cfg.memory_size, seed=cfg.seed)
         self.metrics = OnlineMetrics(self.n_classes)
         self.mesh = mesh_lib.make_mesh(cfg.mesh_shape) \
@@ -121,25 +122,31 @@ class OnlineTrainer:
                 task_indices = self.stream.task_indices[task_id]
                 if cfg.debug:
                     task_indices = task_indices[:500]
-                # host-side gather of batch N+1 overlaps the device step
-                # for batch N (device placement stays in online_step,
-                # after replay concat / padding)
-                from ..data.prefetch import BatchPrefetcher
-                pf = BatchPrefetcher(
-                    iter_batches(task_indices, cfg.batchsize),
-                    self.train_dataset.gather, place=lambda x: x, depth=2)
-                for bi, (batch_idx, images, labels) in enumerate(pf):
-                    if task_id == start_task and bi < start_batch:
-                        continue
-                    self.vocab.expose(labels)
-                    with self.step_timer.tick():
-                        stats = self.online_step(images, labels, batch_idx)
-                    self.samples_seen += len(batch_idx)
-                    if stats:
-                        self._report_train(stats)
-                    if self.samples_seen >= self._next_eval:
-                        self._periodic_eval()
-                        self._next_eval += cfg.eval_period
+                # reference runs epochNum passes per task
+                # (_trainer.py:336); the online default here is one pass
+                for epoch in range(max(int(cfg.epoch_num), 1)):
+                    # host-side gather of batch N+1 overlaps the device
+                    # step for batch N (device placement stays in
+                    # online_step, after replay concat / padding)
+                    from ..data.prefetch import BatchPrefetcher
+                    pf = BatchPrefetcher(
+                        iter_batches(task_indices, cfg.batchsize),
+                        self.train_dataset.gather, place=lambda x: x,
+                        depth=2)
+                    for bi, (batch_idx, images, labels) in enumerate(pf):
+                        if (task_id == start_task and epoch == 0
+                                and bi < start_batch):
+                            continue
+                        self.vocab.expose(labels)
+                        with self.step_timer.tick():
+                            stats = self.online_step(images, labels,
+                                                     batch_idx)
+                        self.samples_seen += len(batch_idx)
+                        if stats:
+                            self._report_train(stats)
+                        if self.samples_seen >= self._next_eval:
+                            self._periodic_eval()
+                            self._next_eval += cfg.eval_period
                 self.online_after_task(task_id)
                 self._task_end_eval(task_id)
                 self._maybe_checkpoint(task_id)

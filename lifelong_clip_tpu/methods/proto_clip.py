@@ -69,6 +69,10 @@ class Trainer_ProtoCLIP(OnlineTrainer):
     ca_epochs = 5
     stage2_lr = 5e-3
     sigma_drift = 4.0
+    # reference --ca/--ssca gates (config.py:31-33): ca enables the
+    # stage-2 compact classifier, ssca enables semantic drift compensation
+    ca = True
+    ssca = True
 
     def setup_model(self):
         cfg = self.cfg
@@ -217,8 +221,10 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         # semantic drift compensation: same samples under old vs new model
         # shift the OLD prototypes (reference stage1_and_stage2():267-280 +
-        # displacement():441-450), applied before new prototypes are built
-        if self._old_feats is not None and self._have_proto.any():
+        # displacement():441-450), applied before new prototypes are built;
+        # gated on --ssca (reference :276)
+        if self.ssca and self._old_feats is not None \
+                and self._have_proto.any():
             slots = np.nonzero(self._have_proto)[0]
             gap = displacement(self._old_feats, feats,
                                self._class_means[slots], self.sigma_drift)
@@ -235,7 +241,10 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             self._have_proto[slot] = True
 
         self._old_feats = None
-        self._stage2()
+        # stage-2 runs from the second task on, gated on --ca
+        # (reference stage1_and_stage2():284-286)
+        if task_id > 0 and self.ca_epochs > 0 and self.ca:
+            self._stage2()
         self.task_count += 1
         # CoPL pool re-orthogonalization at the task switch
         copl = {k: pc.gram_schmidt(np.asarray(v))

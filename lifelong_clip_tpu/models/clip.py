@@ -192,8 +192,15 @@ def transformer(x,
                 layer_prompt_valid=None,
                 attn_impl: Optional[str] = None,
                 act: str = "quick_gelu",
-                prompt_ln: bool = False):
+                prompt_ln: bool = False,
+                remat: bool = False):
     """Scan the stacked residual blocks over the depth axis.
+
+    ``remat=True`` wraps the scan body in ``jax.checkpoint`` so the
+    backward pass recomputes per-block intermediates instead of saving
+    them — HBM activation footprint drops from O(layers · block
+    intermediates) to O(layers · block inputs). Used by giant-batch
+    passes like ProtoCLIP's B·C per-(sample, class) text encoding.
 
     ``blocks``/``peft``/``layer_prompts`` are layer-stacked pytrees
     (leading dim = n_layers). ``layer_prompts`` of shape (L, B, P, D) —
@@ -241,7 +248,7 @@ def transformer(x,
                    sl.get("prompts"), attn_impl, act, prompt_ln=prompt_ln)
         return h, None
 
-    x, _ = jax.lax.scan(body, x, xs)
+    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, xs)
     return x
 
 

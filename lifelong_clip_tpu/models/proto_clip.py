@@ -160,11 +160,19 @@ def proto_encode_image(frozen, proto, images, cfg: CLIPConfig, *,
 
 def encode_text_embeddings(frozen, embeds, eot_pos, cfg: CLIPConfig,
                            compute_dtype=jnp.bfloat16):
-    """Text tower over pre-built token embeddings (prompt splicing)."""
+    """Text tower over pre-built token embeddings (prompt splicing).
+
+    Runs with per-layer rematerialization: the batch here is B·C
+    (sample, class) pairs — at bs=64 × 64 visible classes that is 4096
+    sequences of 77 tokens, whose saved backward intermediates alone
+    exceed v5e HBM (measured: 68 GB requested). Remat trades ~1 extra
+    forward for an O(depth) activation-memory cut and fits easily.
+    """
     t = clip_fns._cast_tree(frozen["text"], compute_dtype)
     x = embeds.astype(compute_dtype) + t["pos_embed"].astype(compute_dtype)
     x = clip_fns.transformer(x, t["blocks"], cfg.text_heads,
-                             mask=causal_mask(cfg.context_length))
+                             mask=causal_mask(cfg.context_length),
+                             remat=True)
     x = clip_fns.layer_norm(x, t["ln_final"])
     pooled = jnp.take_along_axis(
         x, eot_pos[:, None, None].astype(jnp.int32), axis=1)[:, 0]

@@ -152,6 +152,36 @@ def test_adapter_run_and_state_step_count(synth):
     assert int(tr.state.step) == n_batches  # one jitted step per batch
 
 
+def test_epoch_num_multiplies_passes(synth):
+    """--epochNum runs that many passes per task (reference
+    _trainer.py:336)."""
+    train, test = synth
+    cfg = tiny_cfg(method="adapter-clip", online_iter=1, epoch_num=2,
+                   peft=PEFTConfig(method="adapter", encoder="image"))
+    tr = TinyAdapterCLIP(cfg, train_dataset=train, test_dataset=test)
+    tr.run()
+    n_batches = sum((len(t) + cfg.batchsize - 1) // cfg.batchsize
+                    for t in tr.stream.task_indices)
+    assert int(tr.state.step) == 2 * n_batches
+
+
+def test_attr_flag_overrides():
+    """CLI flags like --topK map onto trainer class attributes only when
+    they differ from the parser default."""
+    from lifelong_clip_tpu.main import _ATTR_FLAGS, base_parser
+    from lifelong_clip_tpu.methods import get_method
+    parser = base_parser()
+    args = parser.parse_args(["--topK", "3", "--ssca", ""])
+    cls = get_method("adapter-clip-proto_prompt")
+    overrides = {attr: getattr(args, flag)
+                 for flag, attr in _ATTR_FLAGS.items()
+                 if hasattr(cls, attr)
+                 and getattr(args, flag) != parser.get_default(flag)}
+    assert overrides["top_k"] == 3
+    assert overrides["ssca"] is False   # --ssca "" -> falsy (type=bool)
+    assert "n_ctx" not in overrides     # default untouched
+
+
 def test_visible_all_mode(synth):
     train, test = synth
     cfg = tiny_cfg(method="lora-clip", visible_classes="all",

@@ -128,3 +128,47 @@ def test_rn_random_init_forward():
                                 compute_dtype=jnp.float32)
     assert emb.shape == (2, 32)
     assert bool(jnp.isfinite(emb).all())
+
+
+def test_rn_tower_through_trainer():
+    """RN towers wire through the full trainer path (continual-clip e2e on
+    a tiny ModifiedResNet): stream -> eval engine -> metrics/artifacts."""
+    import dataclasses
+    from lifelong_clip_tpu.config import CLIP_PRESETS
+    from lifelong_clip_tpu.data.registry import make_synthetic
+    from lifelong_clip_tpu.methods.continual_clip import ContinualCLIP
+    from test_engine import tiny_cfg
+
+    tiny_rn = dataclasses.replace(
+        CLIP_PRESETS["RN50"], vision_layers=(1, 1, 1, 1), vision_width=16,
+        vision_heads=8, image_size=32, embed_dim=32, context_length=77,
+        vocab_size=49408, text_width=32, text_heads=1, text_layers=2)
+
+    class TinyRNContinual(ContinualCLIP):
+        def setup_model(self):
+            import sys
+            import jax
+            import lifelong_clip_tpu.models as M
+            from lifelong_clip_tpu.models.init import init_clip_params
+
+            def rn_build(model_name, pretrained_path=None, rng=None):
+                return init_clip_params(
+                    rng if rng is not None else jax.random.PRNGKey(0),
+                    tiny_rn), tiny_rn
+
+            M.build_clip = rn_build
+            for name, mod in list(sys.modules.items()):
+                if (name.startswith("lifelong_clip_tpu.methods.")
+                        and hasattr(mod, "build_clip")):
+                    mod.build_clip = rn_build
+            super().setup_model()
+
+    from lifelong_clip_tpu.config import StreamConfig
+    train = make_synthetic(n_classes=6, per_class=12, image_size=32, seed=0)
+    test = make_synthetic(n_classes=6, per_class=4, image_size=32, seed=0,
+                          train=False)
+    cfg = tiny_cfg(method="continual-clip", model_name="RN50",
+                   stream=StreamConfig(n_tasks=2, n=50, m=10, seed=1))
+    out = TinyRNContinual(cfg, train_dataset=train,
+                          test_dataset=test).run()
+    assert np.isfinite(out["A_last"])
