@@ -122,7 +122,14 @@ def base_parser() -> argparse.ArgumentParser:
 
 
 def args_to_config(args) -> TrainConfig:
-    mesh = tuple(int(x) for x in args.mesh.split("x"))
+    try:
+        mesh = tuple(int(x) for x in args.mesh.split("x"))
+        if len(mesh) != 2 or any(m < 1 for m in mesh):
+            raise ValueError
+    except ValueError:
+        raise SystemExit(
+            f"--mesh expects 'DATAxMODEL' with positive integers "
+            f"(e.g. 8x1, 4x2); got {args.mesh!r}")
     return TrainConfig(
         method=args.method, dataset=args.dataset,
         model_name=args.model_name, pretrained_path=args.pretrained_path,
