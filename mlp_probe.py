@@ -1,0 +1,18 @@
+import time
+import jax, jax.numpy as jnp
+
+f = jax.jit(lambda x: x + 1.0)
+x = jnp.zeros((8, 128))
+x = f(x); x.block_until_ready(); float(x.sum())
+t0 = time.perf_counter(); n = 100
+for _ in range(n):
+    x = f(x)
+_ = float(x.sum())
+print("tiny chained call:", (time.perf_counter()-t0)/n*1e3, "ms/call")
+
+# independent (non-chained) dispatches
+y = jnp.zeros((8, 128))
+t0 = time.perf_counter()
+outs = [f(y) for _ in range(n)]
+_ = float(outs[-1].sum())
+print("tiny independent:", (time.perf_counter()-t0)/n*1e3, "ms/call")
