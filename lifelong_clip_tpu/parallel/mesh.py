@@ -59,10 +59,18 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
         (= heads / hidden) -> P(None, None, 'model') incl. layer-stack dim
       * attention out (D, D) and MLP down-proj (4D, D): shard input dim
         -> P(None, 'model', None)
+      * MoE expert leaves (layers, experts, ...): shard the EXPERT axis —
+        expert parallelism; every device runs its local experts on the
+        full sequence and the gated combine's contraction over the expert
+        axis becomes a compiler-inserted psum over ICI (ops/moe.py
+        computes all experts densely, so EP falls out of GSPMD with no
+        dispatch/all-to-all code)
       * everything else replicated.
     """
     name = path[-1] if path else ""
     joined = "/".join(path)
+    if "experts" in path:
+        return P(None, MODEL_AXIS)   # trailing dims replicated
     if name in ("w_qkv", "w_fc") or joined.endswith("attn/w_qkv"):
         return P(None, None, MODEL_AXIS)
     if name in ("b_qkv", "b_fc"):
@@ -72,17 +80,24 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
-def shard_params(params, mesh: Mesh, tensor_parallel: bool = False):
-    """Place a parameter pytree on the mesh (replicated or TP layout)."""
+def shard_params(params, mesh: Mesh, tensor_parallel: bool = False,
+                 expert_parallel: bool = False):
+    """Place a parameter pytree on the mesh (replicated, TP, and/or EP
+    layout). ``expert_parallel`` shards MoE expert leaves; requires the
+    expert count to divide the model axis size's quotient (E % model == 0).
+    """
     def place(path, leaf):
-        if tensor_parallel and mesh.shape[MODEL_AXIS] > 1:
+        spec = P()
+        if mesh.shape[MODEL_AXIS] > 1:
             keys = tuple(str(getattr(k, "key", k)) for k in path)
-            spec = param_partition_spec(keys, leaf)
-            # only shard stacked block tensors (3D leaves)
-            if spec != P() and leaf.ndim != 3 and leaf.ndim != 2:
-                spec = P()
-        else:
-            spec = P()
+            is_expert = "experts" in keys
+            if is_expert and expert_parallel:
+                spec = param_partition_spec(keys, leaf)
+            elif tensor_parallel and not is_expert:
+                spec = param_partition_spec(keys, leaf)
+                # only shard stacked block tensors (3D leaves)
+                if spec != P() and leaf.ndim != 3 and leaf.ndim != 2:
+                    spec = P()
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

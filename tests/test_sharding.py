@@ -124,3 +124,45 @@ def test_adapter_trainer_dp_mesh_run(devices):
     assert tr.mesh is not None
     out = tr.run()
     assert np.isfinite(out["A_last"])
+
+
+def test_ep_moe_matches_replicated(devices):
+    """Expert-parallel MoE: experts sharded over the model axis must give
+    the same loss as fully replicated (GSPMD inserts the psum over the
+    expert-contraction in ops/moe.py's gated combine)."""
+    peft_cfg = PEFTConfig(method="moe", encoder="image", moe_experts=2,
+                          moe_top_k=2)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    peft = build_peft(jax.random.PRNGKey(1), TINY, peft_cfg)
+    tx = make_optimizer("adamw", 1e-3)
+    step = make_train_step(TINY, peft_cfg, tx, image_size=32,
+                           mean=(0.5,) * 3, std=(0.25,) * 3,
+                           compute_dtype=jnp.float32, donate=False)
+    batch = _make_batch(b=16)
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    params_s = mesh_lib.shard_params(params, mesh)
+    peft_ep = mesh_lib.shard_params(peft, mesh, expert_parallel=True)
+    # expert leaves actually sharded over the model axis
+    w_down = peft_ep["vision"]["moe"]["experts"]["w_down"]
+    assert w_down.sharding.spec == P(None, "model")
+    state_ep = TrainState.create(trainable=peft_ep, frozen=params_s, tx=tx,
+                                 rng=jax.random.PRNGKey(2))
+    sharded = {k: jax.device_put(
+        v, NamedSharding(mesh, P("data") if k in ("images", "labels")
+                         else P()))
+        for k, v in batch.items()}
+    new_ep, m_ep = step(state_ep, sharded)
+
+    state_rep = TrainState.create(trainable=peft, frozen=params, tx=tx,
+                                  rng=jax.random.PRNGKey(2))
+    _, m_rep = step(state_rep, batch)
+    np.testing.assert_allclose(float(m_ep["loss"]), float(m_rep["loss"]),
+                               rtol=1e-5)
+    # EP grads/updates flow (w_up gets first-step grads; w_down cannot —
+    # the adapter up-proj is zero-init) and the update stays sharded
+    d = jnp.abs(new_ep.trainable["vision"]["moe"]["experts"]["w_up"]
+                - peft_ep["vision"]["moe"]["experts"]["w_up"]).max()
+    assert float(d) > 0
+    assert new_ep.trainable["vision"]["moe"]["experts"][
+        "w_up"].sharding.spec == P(None, "model")
