@@ -288,12 +288,16 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
         pr = jnp.exp(s - m)
         return pr / jnp.sum(pr, axis=-1, keepdims=True)
 
+    # probabilities are reused by the attention backward below — compute
+    # each head's score/softmax ONCE (they are recomputed from bf16 qkv,
+    # not saved from the forward; ~2 MB VMEM for 12 heads at T=208)
+    probs = [head_probs(h) for h in range(n_heads)]
     ctxs = []
     for head in range(n_heads):
         lo = head * dh_dim
         v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
         ctxs.append(jax.lax.dot_general(
-            head_probs(head).astype(jnp.bfloat16), v,
+            probs[head].astype(jnp.bfloat16), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     ctx = jnp.concatenate(ctxs, axis=-1)
@@ -339,7 +343,7 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
         q = qkv16[:, lo:lo + dh_dim]
         k = qkv16[:, d + lo:d + lo + dh_dim]
         v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
-        p = head_probs(head)
+        p = probs[head]
         dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
         dv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), dctx_h,
@@ -695,11 +699,14 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
         p = jnp.exp(s - m)
         return p / jnp.sum(p, axis=-1, keepdims=True)
 
+    # probabilities are reused by the attention backward — one score/
+    # softmax per head
+    probs = [head_probs(h) for h in range(n_heads)]
     ctxs = []
     for head in range(n_heads):
         lo = head * dh_dim
         ctxs.append(jax.lax.dot_general(
-            head_probs(head).astype(jnp.bfloat16), v16[:, lo:lo + dh_dim],
+            probs[head].astype(jnp.bfloat16), v16[:, lo:lo + dh_dim],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
     ctx16 = jnp.concatenate(ctxs, axis=-1).astype(jnp.bfloat16)
@@ -718,7 +725,7 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     dq_parts, dk_parts, dv_parts = [], [], []
     for head in range(n_heads):
         lo = head * dh_dim
-        p = head_probs(head)
+        p = probs[head]
         dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
         dv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), dctx_h,
