@@ -10,6 +10,7 @@ can return early and host fetches cost ~25 ms, so each measurement times a
 pipelined chain of dependent steps closed by ONE loss fetch.
 
 Usage: python bench_all.py [method ...]   (default: the flagship set)
+       method may carry a model preset: lora-clip@ViT-L/14
 """
 
 import json
@@ -29,8 +30,10 @@ def bench_method(method: str):
     from lifelong_clip_tpu.config import StreamConfig, TrainConfig
     from lifelong_clip_tpu.methods import get_method
 
+    method, _, model = method.partition("@")
+    model = model or "ViT-B/16"
     cfg = TrainConfig(
-        method=method, dataset="synthetic-100", model_name="ViT-B/16",
+        method=method, dataset="synthetic-100", model_name=model,
         batchsize=BATCH, test_batchsize=BATCH, online_iter=1,
         lr=5e-4, memory_size=0, eval_period=10 ** 9,
         stream=StreamConfig(n_tasks=2, n=50, m=10, seed=1),
@@ -58,9 +61,10 @@ def bench_method(method: str):
 
     step_ms = dt / ITERS * 1e3
     print(json.dumps({
-        "metric": f"{method}_step_ms",
+        "metric": f"{method}_step_ms" if model == "ViT-B/16"
+        else f"{method}@{model}_step_ms",
         "value": round(step_ms, 2),
-        "unit": f"ms/step (bs={BATCH}, ViT-B/16, full online_step incl. "
+        "unit": f"ms/step (bs={BATCH}, {model}, full online_step incl. "
                 "host remap + fused augmentation)",
         "samples_per_sec": round(BATCH * ITERS / dt, 1),
         "loss_finite": bool(np.isfinite(loss)),

@@ -165,6 +165,18 @@ def test_epoch_num_multiplies_passes(synth):
     assert int(tr.state.step) == 2 * n_batches
 
 
+def test_mesh_flag_validation():
+    """--mesh rejects malformed specs with a friendly message (was a raw
+    ValueError traceback — verify-skill known rough edge)."""
+    import pytest as _pytest
+    from lifelong_clip_tpu.main import args_to_config, base_parser
+    for bad in ("bogus", "0x2", "2x2x2"):
+        with _pytest.raises(SystemExit, match="DATAxMODEL"):
+            args_to_config(base_parser().parse_args(["--mesh", bad]))
+    ok = args_to_config(base_parser().parse_args(["--mesh", "4x2"]))
+    assert ok.mesh_shape == (4, 2)
+
+
 def test_attr_flag_overrides():
     """CLI flags like --topK map onto trainer class attributes only when
     they differ from the parser default."""
