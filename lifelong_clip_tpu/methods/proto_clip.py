@@ -115,6 +115,13 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         clip_cfg, dt = self.clip_cfg, self.compute_dtype
         n_tasks = cfg.stream.n_tasks
         top_k, n_ctx = self.top_k, self.n_ctx
+        # static class-suffix length for the prefix-shared text pass:
+        # cover the longest tokenized class name, bucketed to 8
+        lp = 1 + min(top_k, self.num_prompt) * n_ctx
+        need = self.vocab.max_token_pos() - lp + 1
+        suffix_len = min(max(-(-need // 8) * 8, 8),
+                         self.clip_cfg.context_length - lp - 1)
+        self.suffix_len = suffix_len if need > 0 else None
 
         def stage1_step(state: TrainState, batch, task_count):
             rng, aug_rng = jax.random.split(state.rng)
@@ -127,7 +134,8 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                     compute_dtype=dt)
                 txt, _ = pc.proto_text_features(
                     state.frozen, proto, img, batch["tokens"], clip_cfg,
-                    top_k=top_k, n_ctx=n_ctx, compute_dtype=dt)
+                    top_k=top_k, n_ctx=n_ctx, suffix_len=suffix_len,
+                    compute_dtype=dt)
                 logits = pc.proto_logits(state.frozen, img, txt)
                 logits = logits + batch["mask"][None, :]
                 loss = optax.softmax_cross_entropy_with_integer_labels(
@@ -165,7 +173,9 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             img = extract_features(frozen, proto, images_u8)
             txt, _ = pc.proto_text_features(frozen, proto, img, tokens,
                                             clip_cfg, top_k=top_k,
-                                            n_ctx=n_ctx, compute_dtype=dt)
+                                            n_ctx=n_ctx,
+                                            suffix_len=suffix_len,
+                                            compute_dtype=dt)
             logits = pc.proto_logits(frozen, img, txt) + mask[None, :]
             return jnp.argmax(logits, axis=-1), logits
 
@@ -298,6 +308,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                 txt, _ = pc.proto_text_features(
                     self.state.frozen, proto, img, tokens, self.clip_cfg,
                     top_k=self.top_k, n_ctx=self.n_ctx,
+                    suffix_len=self.suffix_len,
                     compute_dtype=self.compute_dtype)
                 logits = pc.proto_logits(self.state.frozen, img, txt)
                 logits = logits + mask[None, :]

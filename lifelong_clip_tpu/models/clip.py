@@ -193,7 +193,8 @@ def transformer(x,
                 attn_impl: Optional[str] = None,
                 act: str = "quick_gelu",
                 prompt_ln: bool = False,
-                remat: bool = False):
+                remat: bool = False,
+                collect_inputs: bool = False):
     """Scan the stacked residual blocks over the depth axis.
 
     ``remat=True`` wraps the scan body in ``jax.checkpoint`` so the
@@ -244,11 +245,18 @@ def transformer(x,
         m = mask
         if "pmask" in sl:
             m = sl["pmask"] if m is None else m + sl["pmask"]
-        h = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
-                   sl.get("prompts"), attn_impl, act, prompt_ln=prompt_ln)
-        return h, None
+        h_out = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
+                       sl.get("prompts"), attn_impl, act,
+                       prompt_ln=prompt_ln)
+        return h_out, (h if collect_inputs else None)
 
-    x, _ = jax.lax.scan(jax.checkpoint(body) if remat else body, x, xs)
+    x, layer_inputs = jax.lax.scan(
+        jax.checkpoint(body) if remat else body, x, xs)
+    if collect_inputs:
+        # per-layer block INPUTS (L, B, T, D) — the states a later pass can
+        # inject as ln_1-processed KV prefixes (prefix sharing: under a
+        # causal mask these are independent of any tokens to their right)
+        return x, layer_inputs
     return x
 
 

@@ -183,12 +183,27 @@ def encode_text_embeddings(frozen, embeds, eot_pos, cfg: CLIPConfig,
 
 def proto_text_features(frozen, proto, img_feats, class_tokens,
                         cfg: CLIPConfig, *, top_k: int, n_ctx: int,
+                        suffix_len: int | None = None,
                         compute_dtype=jnp.bfloat16):
     """Per-(sample, class) text features with selected prompt ctx.
 
     class_tokens: (C, 77) of "x"*n_ctx·topK + classname prompts. Returns
-    (B, C, E) normalized features. B·C text passes, batched into one call
-    (the reference loops this on GPU; here it is one fused pass).
+    (B, C, E) normalized features. The reference loops B·C full text
+    passes on GPU (``proto_clip.py:109-124``).
+
+    ``suffix_len=None`` runs the direct equivalent: one batched pass over
+    B·C spliced 77-token sequences.
+
+    ``suffix_len=S`` (static, ≥ max EOT − prefix + 1 over the class table)
+    enables **prefix sharing** — the big perf lever for this method. Under
+    the causal mask, the ``[SOS] + ctx`` prefix (length 1 + topK·n_ctx) is
+    identical across all C classes of a sample, and tokens after EOT never
+    influence the pooled feature. So: run the prefix once per sample,
+    collect each layer's block inputs, and run only the S-token class
+    suffix per (sample, class) pair with those states injected as
+    ln_1-processed KV prefixes. Mathematically exact (tested against the
+    full pass, values and grads); token-positions drop from B·C·77 to
+    B·Lp + B·C·S.
     """
     prob = jnp.einsum("be,pe->bp", img_feats.astype(jnp.float32),
                       proto["text_key"].astype(jnp.float32), precision=_P)
@@ -197,23 +212,82 @@ def proto_text_features(frozen, proto, img_feats, class_tokens,
     sel = proto["text_prompt"][indices]                       # (B, k, n_ctx, D)
     b = img_feats.shape[0]
     ctx = sel.reshape(b, k * n_ctx, -1)
+    lp = 1 + k * n_ctx
+    eot = jnp.argmax(class_tokens, axis=-1)                   # (C,)
+    c = class_tokens.shape[0]
+
+    if suffix_len is not None and lp + suffix_len < cfg.context_length:
+        txt = _prefix_shared_text(frozen, ctx, class_tokens, eot, lp,
+                                  int(suffix_len), cfg, compute_dtype)
+        return clip_fns.normalize(txt), indices
 
     t = frozen["text"]
     embeds = t["token_embedding"][class_tokens]               # (C, 77, D)
-    c = class_tokens.shape[0]
     # splice ctx into positions 1..1+k*n_ctx for every (sample, class)
     pair_embeds = jnp.broadcast_to(embeds[None], (b, c) + embeds.shape[1:])
     ctx_bc = jnp.broadcast_to(ctx[:, None], (b, c) + ctx.shape[1:])
     pair_embeds = jnp.concatenate(
         [pair_embeds[:, :, :1], ctx_bc.astype(pair_embeds.dtype),
          pair_embeds[:, :, 1 + k * n_ctx:]], axis=2)
-    eot = jnp.argmax(class_tokens, axis=-1)                   # (C,)
     eot_bc = jnp.broadcast_to(eot[None], (b, c)).reshape(b * c)
     txt = encode_text_embeddings(
         frozen, pair_embeds.reshape(b * c, *pair_embeds.shape[2:]),
         eot_bc, cfg, compute_dtype)
     txt = clip_fns.normalize(txt).reshape(b, c, -1)
     return txt, indices
+
+
+def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
+                        cfg: CLIPConfig, compute_dtype):
+    """Prefix-shared per-(sample, class) text encoding (see caller doc).
+
+    ``ctx``: (B, lp-1, D) selected prompt tokens. Returns UNnormalized
+    (B, C, E) features.
+    """
+    t = clip_fns._cast_tree(frozen["text"], compute_dtype)
+    emb_table = t["token_embedding"]
+    pos = t["pos_embed"].astype(compute_dtype)
+    b = ctx.shape[0]
+    c = class_tokens.shape[0]
+    d = emb_table.shape[-1]
+
+    # SOS id: column 0 of any real class row; padding rows are zeros, so
+    # the column max is the SOT id whenever at least one class is exposed
+    sos_id = jnp.max(class_tokens[:, 0])
+    sos = jnp.broadcast_to(emb_table[sos_id][None, None], (b, 1, d))
+    prefix = jnp.concatenate(
+        [sos.astype(compute_dtype), ctx.astype(compute_dtype)],
+        axis=1) + pos[:lp]
+    # per-sample prefix pass, collecting each layer's block input — these
+    # are exactly what the suffix pass needs as ln_1'd KV prefixes
+    _, layer_states = clip_fns.transformer(
+        prefix, t["blocks"], cfg.text_heads, mask=causal_mask(lp),
+        collect_inputs=True)                                  # (L, B, lp, D)
+
+    suffix = emb_table[class_tokens[:, lp:lp + s]].astype(compute_dtype)
+    suffix = suffix + pos[lp:lp + s]                          # (C, S, D)
+    suf_bc = jnp.broadcast_to(suffix[None], (b, c, s, d)).reshape(b * c, s, d)
+    n_layers = layer_states.shape[0]
+    states_bc = jnp.broadcast_to(
+        layer_states[:, :, None], (n_layers, b, c, lp, d)
+    ).reshape(n_layers, b * c, lp, d)
+
+    # suffix tokens attend to the full prefix + causally among themselves.
+    # attn_impl='xla': the fused kernels run one program per batch row,
+    # which underutilizes the MXU at S≈8-token rows; the einsum path
+    # batches all B·C rows into large matmuls.
+    x = clip_fns.transformer(suf_bc, t["blocks"], cfg.text_heads,
+                             mask=causal_mask(s, prefix=lp),
+                             layer_prompts=states_bc, prompt_ln=True,
+                             attn_impl="xla", remat=True)
+    x = clip_fns.layer_norm(x, t["ln_final"]).reshape(b, c, s, d)
+    eot_s = jnp.clip(eot - lp, 0, s - 1).astype(jnp.int32)    # (C,)
+    pooled = jnp.take_along_axis(
+        x, jnp.broadcast_to(eot_s[None, :, None, None], (b, c, 1, 1)),
+        axis=2)[:, :, 0]                                      # (B, C, D)
+    emb = jnp.einsum("bcd,de->bce", pooled, t["text_projection"],
+                     preferred_element_type=jnp.float32, precision=_P)
+    return emb.astype(compute_dtype)
 
 
 def proto_logits(frozen, img_feats, txt_feats_bc):

@@ -66,6 +66,18 @@ class ClassVocabulary:
                 new = True
         return new
 
+    def max_token_pos(self) -> int:
+        """Largest EOT position any class in this vocabulary can produce
+        (tokenizes every known class name through the template, once).
+        Static per run — lets jitted consumers slice sequences to the
+        shortest length that still covers every pooled position."""
+        if not hasattr(self, "_max_token_pos"):
+            toks = tokenize(
+                [self.template.format(n) for n in self.all_class_names],
+                self.context_length)
+            self._max_token_pos = int(np.asarray(toks).argmax(-1).max())
+        return self._max_token_pos
+
     def remap(self, labels: Sequence[int]) -> np.ndarray:
         """Global class ids -> exposed slot ids (vectorized gather; replaces
         the per-element Python loop at reference adapter_clip.py:75-76)."""

@@ -191,3 +191,48 @@ def test_proto_trainer_two_stage_run(synth):  # noqa: F811
     # stage-2 moved the text pools
     assert np.isfinite(
         np.asarray(tr.state.trainable["text_prompt"])).all()
+
+
+def test_prefix_shared_text_features_match_full(frozen, proto):
+    """The prefix-shared fast path (per-sample prefix pass + per-pair
+    class-suffix pass with collected KV states) must reproduce the full
+    B*C 77-token pass exactly — values AND gradients: under the causal
+    mask the [SOS]+ctx prefix is class-independent and post-EOT tokens
+    never reach the pooled position."""
+    rng = np.random.default_rng(7)
+    b, c, top_k, n_ctx = 3, 4, 2, 3
+    lp = 1 + top_k * n_ctx
+    img = jnp.asarray(rng.normal(size=(b, TINY.embed_dim)), jnp.float32)
+    tokens = np.zeros((c, TINY.context_length), np.int32)
+    eots = [9, 12, 10, 15]
+    for i, e in enumerate(eots):
+        tokens[i, 0] = 49406                       # SOT
+        tokens[i, 1:e] = rng.integers(1, 40000, e - 1)
+        tokens[i, e] = 49407                       # EOT (max id)
+    tokens = jnp.asarray(tokens)
+    s = max(eots) - lp + 1
+
+    kw = dict(top_k=top_k, n_ctx=n_ctx, compute_dtype=jnp.float32)
+    full, idx_full = pc.proto_text_features(frozen, proto, img, tokens,
+                                            TINY, suffix_len=None, **kw)
+    fast, idx_fast = pc.proto_text_features(frozen, proto, img, tokens,
+                                            TINY, suffix_len=s, **kw)
+    np.testing.assert_array_equal(np.asarray(idx_fast), np.asarray(idx_full))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               atol=2e-5, rtol=1e-4)
+
+    w = jnp.asarray(rng.normal(size=(b, c, TINY.embed_dim)), jnp.float32)
+
+    def loss(p, suffix_len):
+        txt, _ = pc.proto_text_features(frozen, p, img, tokens, TINY,
+                                        suffix_len=suffix_len, **kw)
+        return jnp.sum(txt * w)
+
+    g_full = jax.grad(loss)(proto, None)
+    g_fast = jax.grad(loss)(proto, s)
+    np.testing.assert_allclose(np.asarray(g_fast["text_prompt"]),
+                               np.asarray(g_full["text_prompt"]),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_fast["text_key"]),
+                               np.asarray(g_full["text_key"]),
+                               atol=2e-4, rtol=1e-3)
