@@ -47,7 +47,10 @@ def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
         frozen, images, tokens, clip_cfg, peft_cfg=peft_cfg,
         peft_vision=trainable.get("vision"),
         peft_text=trainable.get("text"),
-        compute_dtype=compute_dtype, attn_impl=attn_impl)
+        compute_dtype=compute_dtype, attn_impl=attn_impl,
+        # tower weights live in `frozen`, which the train step never
+        # differentiates — skip base-weight grad work in the fused bwd
+        base_grads=False)
     return logits, img_f, txt_f
 
 
@@ -65,7 +68,7 @@ def peft_forward_cached_text(frozen, trainable, images, txt_features,
         frozen, images, clip_cfg,
         peft_cfg=peft_cfg if peft_cfg.on_vision() else None,
         peft=trainable.get("vision"), compute_dtype=compute_dtype,
-        attn_impl=attn_impl)
+        attn_impl=attn_impl, base_grads=False)
     img = clip_fns.normalize(img)
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),

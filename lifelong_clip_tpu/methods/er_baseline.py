@@ -39,7 +39,8 @@ def head_forward(frozen, trainable, images, tokens, *, clip_cfg,
     """
     params = trainable.get("backbone") or frozen
     img = clip_fns.encode_image(params, images, clip_cfg,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                base_grads="backbone" in trainable)
     img = clip_fns.normalize(img).astype(jnp.float32)
     logits = jnp.einsum("be,ec->bc", img, trainable["head"]["w"],
                         precision=_P) + trainable["head"]["b"]

@@ -69,13 +69,17 @@ def _adapter_apply(y, p, scale: float):
 
 def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
            peft, kv_prefix, attn_impl: str, act: str = "quick_gelu",
-           prompt_ln: bool = False):
+           prompt_ln: bool = False, base_grads: bool = True):
     """One residual attention block; PEFT branches resolve at trace time.
 
     ``prompt_ln`` selects sequence-append prompt semantics (reference
     ``prompt_tuning``, models/mvp_clip.py:157-175): appended prompt tokens
     pass through the block's ln_1 before becoming K/V. False = raw KV
     prefix (reference ``PromptedMultiheadAttention``, model.py:265-293).
+
+    ``base_grads=False`` asserts the block's own weights are frozen (the
+    caller differentiates only PEFT/prompt subtrees): the fused kernels'
+    hand-written backward then skips the base-weight grad matmuls.
     """
     if kv_prefix is not None and prompt_ln:
         kv_prefix = jax.tree.map(lambda t: layer_norm(t, blk["ln_1"]),
@@ -112,7 +116,7 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             x, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
             blk["attn"]["w_qkv"], blk["attn"]["b_qkv"],
             blk["attn"]["w_out"], blk["attn"]["b_out"], n_heads,
-            lora_scaling, mask, lora_arrays)
+            lora_scaling, mask, lora_arrays, base_grads)
         if adapter is not None:
             y = y + _adapter_apply(y - x, adapter, peft_cfg.adapter_scale)
         return _mlp_half(y, blk, adapter, moe, act, peft_cfg)
@@ -134,7 +138,8 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             y = fused_prefix_attention_block(
                 x, pk, pv, blk["ln_1"]["scale"], blk["ln_1"]["bias"],
                 blk["attn"]["w_qkv"], blk["attn"]["b_qkv"],
-                blk["attn"]["w_out"], blk["attn"]["b_out"], n_heads, m2)
+                blk["attn"]["w_out"], blk["attn"]["b_out"], n_heads, m2,
+                base_grads)
             if adapter is not None:
                 y = y + _adapter_apply(y - x, adapter,
                                        peft_cfg.adapter_scale)
@@ -194,7 +199,8 @@ def transformer(x,
                 act: str = "quick_gelu",
                 prompt_ln: bool = False,
                 remat: bool = False,
-                collect_inputs: bool = False):
+                collect_inputs: bool = False,
+                base_grads: bool = True):
     """Scan the stacked residual blocks over the depth axis.
 
     ``remat=True`` wraps the scan body in ``jax.checkpoint`` so the
@@ -247,7 +253,7 @@ def transformer(x,
             m = sl["pmask"] if m is None else m + sl["pmask"]
         h_out = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
                        sl.get("prompts"), attn_impl, act,
-                       prompt_ln=prompt_ln)
+                       prompt_ln=prompt_ln, base_grads=base_grads)
         return h_out, (h if collect_inputs else None)
 
     x, layer_inputs = jax.lax.scan(
@@ -283,7 +289,8 @@ def encode_image(params,
                  layer_prompts=None,
                  compute_dtype=jnp.bfloat16,
                  attn_impl: Optional[str] = None,
-                 return_tokens: bool = False):
+                 return_tokens: bool = False,
+                 base_grads: bool = True):
     """Vision tower. ``images``: (B, H, W, 3) normalized floats.
 
     Returns the projected CLS embedding (B, embed_dim); with
@@ -316,7 +323,8 @@ def encode_image(params,
                     peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
                     else None,
                     peft=pv, layer_prompts=layer_prompts,
-                    attn_impl=attn_impl, act=cfg.act)
+                    attn_impl=attn_impl, act=cfg.act,
+                    base_grads=base_grads)
     pooled = layer_norm(x[:, :1], v["ln_post"])[:, 0]
     emb = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)
@@ -334,7 +342,8 @@ def encode_text(params,
                 peft=None,
                 layer_prompts=None,
                 compute_dtype=jnp.bfloat16,
-                attn_impl: Optional[str] = None):
+                attn_impl: Optional[str] = None,
+                base_grads: bool = True):
     """Text tower. ``tokens``: (B, context_length) int32.
 
     Pools features at the EOT position (argmax of token ids — EOT has the
@@ -350,7 +359,8 @@ def encode_text(params,
                     peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_text())
                     else None,
                     peft=pt, layer_prompts=layer_prompts,
-                    attn_impl=attn_impl, act=cfg.act)
+                    attn_impl=attn_impl, act=cfg.act,
+                    base_grads=base_grads)
     x = layer_norm(x, t["ln_final"])
     eot = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None].astype(jnp.int32),
@@ -374,7 +384,8 @@ def clip_forward(params,
                  peft_vision=None,
                  peft_text=None,
                  compute_dtype=jnp.bfloat16,
-                 attn_impl: Optional[str] = None):
+                 attn_impl: Optional[str] = None,
+                 base_grads: bool = True):
     """Joint forward: (logits_per_image, image_feats, text_feats).
 
     Parity with reference ``CLIP.forward`` (model.py:958-975), minus the
@@ -383,10 +394,12 @@ def clip_forward(params,
     img = normalize(encode_image(params, images, cfg, peft_cfg=peft_cfg,
                                  peft=peft_vision,
                                  compute_dtype=compute_dtype,
-                                 attn_impl=attn_impl))
+                                 attn_impl=attn_impl,
+                                 base_grads=base_grads))
     txt = normalize(encode_text(params, tokens, cfg, peft_cfg=peft_cfg,
                                 peft=peft_text, compute_dtype=compute_dtype,
-                                attn_impl=attn_impl))
+                                attn_impl=attn_impl,
+                                base_grads=base_grads))
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
                                 txt.astype(jnp.float32))

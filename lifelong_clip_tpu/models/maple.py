@@ -101,7 +101,11 @@ def _scan_with_replacement(x, blocks, n_heads, mask, replace, n_ctx,
         else:
             mid = jnp.where(flag, rep, h[:, 1:1 + n_ctx])
             h = jnp.concatenate([h[:, :1], mid, h[:, 1 + n_ctx:]], axis=1)
-        h = clip_fns._block(h, blk, n_heads, mask, None, None, None, None)
+        # MaPLe trains only the learner (ctx/compound/projections) —
+        # prompt grads flow through the replaced token positions (dx),
+        # never through the frozen block weights
+        h = clip_fns._block(h, blk, n_heads, mask, None, None, None, None,
+                            base_grads=False)
         return h, None
 
     x, _ = jax.lax.scan(body, x, {"blk": blocks, "val": vals,

@@ -126,7 +126,7 @@ def mvp_features(frozen,
     if not use_last_layer:
         q_blocks = jax.tree.map(lambda a: a[:-1], q_blocks)
     q = clip_fns.transformer(jax.lax.stop_gradient(q), q_blocks,
-                             cfg.vision_heads)
+                             cfg.vision_heads, base_grads=False)
     query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
     query = jax.lax.stop_gradient(query)
 
@@ -157,7 +157,7 @@ def mvp_features(frozen,
         mvp, sel_e, b, cfg.vision_layers, LEN_G, LEN_E, compute_dtype)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
                              layer_prompts=vals, layer_prompt_valid=valid,
-                             prompt_ln=True)
+                             prompt_ln=True, base_grads=False)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     img = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)

@@ -142,7 +142,7 @@ def proto_encode_image(frozen, proto, images, cfg: CLIPConfig, *,
     from .mvp_clip import _vit_prelude
     x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
     q = clip_fns.transformer(jax.lax.stop_gradient(x), v["blocks"],
-                             cfg.vision_heads)
+                             cfg.vision_heads, base_grads=False)
     query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
     query = jax.lax.stop_gradient(query).astype(jnp.float32)
 
@@ -151,7 +151,7 @@ def proto_encode_image(frozen, proto, images, cfg: CLIPConfig, *,
                                    train=train, dtype=compute_dtype)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
                              layer_prompts=prompts,
-                             layer_prompt_valid=valid)
+                             layer_prompt_valid=valid, base_grads=False)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     img = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)
@@ -172,7 +172,7 @@ def encode_text_embeddings(frozen, embeds, eot_pos, cfg: CLIPConfig,
     x = embeds.astype(compute_dtype) + t["pos_embed"].astype(compute_dtype)
     x = clip_fns.transformer(x, t["blocks"], cfg.text_heads,
                              mask=causal_mask(cfg.context_length),
-                             remat=True)
+                             remat=True, base_grads=False)
     x = clip_fns.layer_norm(x, t["ln_final"])
     pooled = jnp.take_along_axis(
         x, eot_pos[:, None, None].astype(jnp.int32), axis=1)[:, 0]
@@ -262,7 +262,7 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
     # are exactly what the suffix pass needs as ln_1'd KV prefixes
     _, layer_states = clip_fns.transformer(
         prefix, t["blocks"], cfg.text_heads, mask=causal_mask(lp),
-        collect_inputs=True)                                  # (L, B, lp, D)
+        collect_inputs=True, base_grads=False)                                  # (L, B, lp, D)
 
     suffix = emb_table[class_tokens[:, lp:lp + s]].astype(compute_dtype)
     suffix = suffix + pos[lp:lp + s]                          # (C, S, D)
@@ -279,7 +279,8 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
     x = clip_fns.transformer(suf_bc, t["blocks"], cfg.text_heads,
                              mask=causal_mask(s, prefix=lp),
                              layer_prompts=states_bc, prompt_ln=True,
-                             attn_impl="xla", remat=True)
+                             attn_impl="xla", remat=True,
+                             base_grads=False)
     x = clip_fns.layer_norm(x, t["ln_final"]).reshape(b, c, s, d)
     eot_s = jnp.clip(eot - lp, 0, s - 1).astype(jnp.int32)    # (C,)
     pooled = jnp.take_along_axis(

@@ -172,30 +172,38 @@ def _reference_math(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                                     lora=lora, impl="xla")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 11))
 def fused_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
                              b_out, n_heads: int, lora_scaling: float = 0.0,
-                             mask=None, lora=None):
+                             mask=None, lora=None,
+                             weight_grads: bool = True):
     """x (B, T, D) -> x + out_proj(MHA(LN(x))), one fused VMEM program per
     batch row. Optional additive mask broadcastable to (T, T); optional
-    LoRA deltas fused in-kernel. Backward recomputes through the pure-jnp
-    equivalent (XLA autodiff), so all weight/LoRA grads flow."""
+    LoRA deltas fused in-kernel. Backward is a hand-written recompute
+    kernel, so all weight/LoRA grads flow.
+
+    ``weight_grads=False`` asserts the base block weights (w_qkv/b_qkv/
+    w_out/b_out/LN) are NOT being differentiated — their grads come back
+    as zeros and the backward kernel skips the dW matmuls (~1/3 of its
+    matmul FLOPs). PEFT methods train only LoRA/prompt subtrees, so this
+    is the hot-path default via ``_block(base_grads=False)``."""
     return _run_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                       n_heads, mask, lora, lora_scaling)
 
 
 def _fused_fwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-               n_heads, lora_scaling, mask, lora):
+               n_heads, lora_scaling, mask, lora, weight_grads):
     out = _run_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                      n_heads, mask, lora, lora_scaling)
     return out, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask,
                  lora)
 
 
-def _fused_bwd(n_heads, lora_scaling, res, g):
+def _fused_bwd(n_heads, lora_scaling, weight_grads, res, g):
     x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask, lora = res
     grads, dlora = _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv,
-                                  w_out, mask, lora, n_heads, lora_scaling)
+                                  w_out, mask, lora, n_heads, lora_scaling,
+                                  weight_grads)
     dx, dls, dlb, dwqkv, dbqkv, dwout, dbout = grads
 
     def like(grad, primal):
@@ -226,7 +234,8 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
                 dx_ref, dls_ref, dlb_ref, dwqkv_ref, dbqkv_ref,
                 dwout_ref, dbout_ref, dain_ref, dbin_ref, daout_ref,
                 dbout_l_ref,
-                *, n_heads: int, lora_scaling: float, eps: float = 1e-5):
+                *, n_heads: int, lora_scaling: float,
+                weight_grads: bool = True, eps: float = 1e-5):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -306,11 +315,12 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
     # ---- backward ----
     g16 = g.astype(jnp.bfloat16)
     w_out = w_out_ref[...]
-    # out-proj grads
-    dwout_ref[...] += jax.lax.dot_general(
-        ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    # out-proj grads (skipped when the base weights are frozen)
+    if weight_grads:
+        dwout_ref[...] += jax.lax.dot_general(
+            ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
     dctx = jax.lax.dot_general(
         g16, w_out, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -367,10 +377,11 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
         dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)  # (Tp, 3D)
 
     dqkv16 = dqkv.astype(jnp.bfloat16)
-    dwqkv_ref[...] += jax.lax.dot_general(
-        h, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
+    if weight_grads:
+        dwqkv_ref[...] += jax.lax.dot_general(
+            h, dqkv16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkv, axis=0, keepdims=True)
     dh = jax.lax.dot_general(
         dqkv16, w_qkv, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -392,8 +403,9 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
             preferred_element_type=jnp.float32)
 
     # LayerNorm backward
-    dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
-    dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    if weight_grads:
+        dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
     dxhat = dh * gamma
     mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -402,7 +414,8 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
 
 
 def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
-                   lora, n_heads: int, lora_scaling: float):
+                   lora, n_heads: int, lora_scaling: float,
+                   weight_grads: bool = True):
     b, t, d = x.shape
     sub = 16 if x.dtype == jnp.bfloat16 else 8
     tp = _round_up(t, sub)
@@ -433,7 +446,8 @@ def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_heads=n_heads,
-                          lora_scaling=lora_scaling),
+                          lora_scaling=lora_scaling,
+                          weight_grads=weight_grads),
         grid=(b,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -596,30 +610,33 @@ def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     return out[:, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11))
 def fused_prefix_attention_block(x, pk, pv, ln_scale, ln_bias, w_qkv,
                                  b_qkv, w_out, b_out, n_heads: int,
-                                 mask=None):
+                                 mask=None, weight_grads: bool = True):
     """Prompted block half: x + out_proj(MHA(LN(x); KV prefixed by
     pk/pv)). pk/pv (B, P, D) are trainable prompt tokens (CoPL Ek/Ev or a
-    shared prefix). Backward recomputes via the pure-jnp equivalent."""
+    shared prefix). Backward is a hand-written recompute kernel; dpk/dpv
+    always flow. ``weight_grads=False`` asserts the block weights are
+    frozen (the usual case — prompted towers train only the prompts): the
+    backward skips the dW matmuls and returns zeros for them."""
     return _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
                              w_out, b_out, n_heads, mask)
 
 
 def _prefix_fwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-                n_heads, mask):
+                n_heads, mask, weight_grads):
     out = _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
                             w_out, b_out, n_heads, mask)
     return out, (x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                  mask)
 
 
-def _prefix_bwd(n_heads, res, g):
+def _prefix_bwd(n_heads, weight_grads, res, g):
     x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = res
     (dx, dpk, dpv, dls, dlb, dwqkv, dbqkv, dwout, dbout) = \
         _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
-                              w_out, mask, g, n_heads)
+                              w_out, mask, g, n_heads, weight_grads)
 
     def like(grad, primal):
         return grad.astype(primal.dtype)
@@ -637,7 +654,8 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
                        w_qkv_ref, b_qkv_ref, w_out_ref, mask_ref, g_ref,
                        dx_ref, dpk_ref, dpv_ref, dls_ref, dlb_ref,
                        dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref,
-                       *, n_heads: int, eps: float = 1e-5):
+                       *, n_heads: int, weight_grads: bool = True,
+                       eps: float = 1e-5):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -714,10 +732,11 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     # ---- backward ----
     g16 = g.astype(jnp.bfloat16)
     w_out = w_out_ref[...]
-    dwout_ref[...] += jax.lax.dot_general(
-        ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
+    if weight_grads:
+        dwout_ref[...] += jax.lax.dot_general(
+            ctx16, g16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
     dctx = jax.lax.dot_general(
         g16, w_out, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -753,20 +772,21 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     dq16 = dq.astype(jnp.bfloat16)
     dk16 = dk.astype(jnp.bfloat16)
     dv16 = dv.astype(jnp.bfloat16)
-    dwq = jax.lax.dot_general(
-        h16, dq16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwk = jax.lax.dot_general(
-        k_src, dk16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwv = jax.lax.dot_general(
-        v_src, dv16, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwqkv_ref[...] += jnp.concatenate([dwq, dwk, dwv], axis=-1)
-    dbqkv_ref[...] += jnp.concatenate(
-        [jnp.sum(dq, axis=0, keepdims=True),
-         jnp.sum(dk, axis=0, keepdims=True),
-         jnp.sum(dv, axis=0, keepdims=True)], axis=-1)
+    if weight_grads:
+        dwq = jax.lax.dot_general(
+            h16, dq16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwk = jax.lax.dot_general(
+            k_src, dk16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwv = jax.lax.dot_general(
+            v_src, dv16, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwqkv_ref[...] += jnp.concatenate([dwq, dwk, dwv], axis=-1)
+        dbqkv_ref[...] += jnp.concatenate(
+            [jnp.sum(dq, axis=0, keepdims=True),
+             jnp.sum(dk, axis=0, keepdims=True),
+             jnp.sum(dv, axis=0, keepdims=True)], axis=-1)
 
     dk_src = jax.lax.dot_general(
         dk16, w_qkv[:, d:2 * d],
@@ -784,8 +804,9 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
         preferred_element_type=jnp.float32)
     dh = dh + dk_src[pp:] + dv_src[pp:]
 
-    dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
-    dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    if weight_grads:
+        dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
+        dlb_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
     dxhat = dh * gamma
     mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -794,7 +815,8 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
 
 
 def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
-                          w_out, mask, g, n_heads: int):
+                          w_out, mask, g, n_heads: int,
+                          weight_grads: bool = True):
     b, t, d = x.shape
     p_len = pk.shape[1]
     sub = 16 if x.dtype == jnp.bfloat16 else 8
@@ -820,7 +842,8 @@ def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
                                   memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
-        functools.partial(_prefix_bwd_kernel, n_heads=n_heads),
+        functools.partial(_prefix_bwd_kernel, n_heads=n_heads,
+                          weight_grads=weight_grads),
         grid=(b,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
