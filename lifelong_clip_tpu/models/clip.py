@@ -290,8 +290,12 @@ def encode_image(params,
                  compute_dtype=jnp.bfloat16,
                  attn_impl: Optional[str] = None,
                  return_tokens: bool = False,
-                 base_grads: bool = True):
+                 base_grads: bool = True,
+                 depth_runner=None):
     """Vision tower. ``images``: (B, H, W, 3) normalized floats.
+
+    ``depth_runner`` swaps the depth loop implementation (same signature
+    as ``transformer``) — e.g. parallel/pipeline.py's pipelined runner.
 
     Returns the projected CLS embedding (B, embed_dim); with
     ``return_tokens`` also the final token sequence (for prompt-pool query
@@ -319,12 +323,13 @@ def encode_image(params,
     x = x + v["pos_embed"].astype(compute_dtype)
     if cfg.use_ln_pre:
         x = layer_norm(x, v["ln_pre"])
-    x = transformer(x, v["blocks"], cfg.vision_heads,
-                    peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
-                    else None,
-                    peft=pv, layer_prompts=layer_prompts,
-                    attn_impl=attn_impl, act=cfg.act,
-                    base_grads=base_grads)
+    runner = depth_runner or transformer
+    x = runner(x, v["blocks"], cfg.vision_heads,
+               peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
+               else None,
+               peft=pv, layer_prompts=layer_prompts,
+               attn_impl=attn_impl, act=cfg.act,
+               base_grads=base_grads)
     pooled = layer_norm(x[:, :1], v["ln_post"])[:, 0]
     emb = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)

@@ -103,6 +103,32 @@ def shard_params(params, mesh: Mesh, tensor_parallel: bool = False,
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+def shard_params_pp(params, mesh: Mesh, match=("vision", "blocks")):
+    """Pipeline-parallel placement: layer-stacked leaves shard their
+    leading (layer) dim over the model axis — each model-axis device
+    becomes a pipeline stage holding L/S contiguous layers (see
+    parallel/pipeline.py). Everything else replicates.
+
+    ``match``: a leaf is stage-sharded when every name in ``match``
+    appears on its path (and its leading dim divides the stage count).
+    Default targets the frozen vision tower's block stack; pass
+    ``match=()`` for a tree that is layer-stacked throughout (e.g. the
+    vision LoRA subtree).
+    """
+    n_stages = mesh.shape[MODEL_AXIS]
+
+    def place(path, leaf):
+        keys = tuple(str(getattr(k, "key", k)) for k in path)
+        stacked = all(m in keys for m in match)
+        if n_stages > 1 and stacked and leaf.ndim >= 1 \
+                and leaf.shape[0] % n_stages == 0:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P(MODEL_AXIS)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
 def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
