@@ -53,9 +53,15 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
         self.tx = make_optimizer(cfg.opt_name, cfg.lr,
                                  sched_name=cfg.sched_name,
                                  total_steps=self._estimate_steps())
-        self.state = self.place_state(TrainState.create(
-            trainable=self.peft, frozen=self.params, tx=self.tx,
-            rng=self.next_rng()))
+        self.state = self.place_state(
+            TrainState.create(trainable=self.peft, frozen=self.params,
+                              tx=self.tx, rng=self.next_rng()),
+            tx=self.tx, peft_method=self.peft_cfg.method)
+        # multi-device meshes route attention through the einsum path:
+        # GSPMD partitions it (and inserts the TP/EP collectives) freely,
+        # which it cannot do through an opaque Pallas custom call — the
+        # fused kernels stay the single-chip fast path
+        self._attn_impl = "xla" if self.mesh is not None else None
         log.info("backbone params: %d | trainable PEFT params: %d",
                  param_count(self.params), param_count(self.peft))
 
@@ -73,14 +79,16 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             autoaug_policy=("cifar10" if "cifar" in cfg.dataset else
                             "svhn" if "svhn" in cfg.dataset else "imagenet"),
             cached_text=self._use_text_cache,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype,
+            attn_impl=self._attn_impl)
         self._text_fn = make_text_feature_fn(
-            self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype)
+            self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype,
+            attn_impl=self._attn_impl)
         self._eval_fn = make_eval_step(
             self.clip_cfg, self.peft_cfg,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
-            compute_dtype=self.compute_dtype)
+            compute_dtype=self.compute_dtype, attn_impl=self._attn_impl)
         self._txt_cache_key = None
 
     def _estimate_steps(self) -> int:

@@ -296,17 +296,31 @@ def pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int):
 class _MeshMixin:
     """Mesh placement helpers for engine-based trainers.
 
-    With ``--mesh NxM`` the batch shards over the data axis and parameters
-    replicate (ViT-B/16 fits per chip; TP layouts are available via
-    parallel.mesh.shard_params for larger towers). The jitted step then
-    runs SPMD — gradient all-reduce becomes a compiler-inserted psum over
-    ICI, replacing the reference's NCCL scaffolding (SURVEY §2.6/2.7).
+    With ``--mesh NxM`` the batch shards over the data axis (DP: gradient
+    all-reduce becomes a compiler-inserted psum over ICI, replacing the
+    reference's NCCL scaffolding, SURVEY §2.6/2.7). A model axis M>1
+    additionally shards the frozen tower's qkv/MLP weights (TP) and — for
+    the MoE method — the expert leaves of the trainable tree (EP), per
+    parallel/mesh.py's partition rules; opt-state moments inherit the
+    trainable shardings via a fresh ``tx.init``.
     """
 
-    def place_state(self, state):
+    def place_state(self, state, tx=None, peft_method: str = ""):
         if self.mesh is None:
             return state
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import MODEL_AXIS, shard_params
+        if self.mesh.shape[MODEL_AXIS] > 1:
+            frozen = shard_params(state.frozen, self.mesh,
+                                  tensor_parallel=True)
+            trainable = shard_params(state.trainable, self.mesh,
+                                     expert_parallel=peft_method == "moe")
+            opt_state = tx.init(trainable) if tx is not None \
+                else jax.tree.map(
+                    lambda a: jax.device_put(
+                        a, NamedSharding(self.mesh, P())), state.opt_state)
+            return state.replace(frozen=frozen, trainable=trainable,
+                                 opt_state=opt_state)
         return jax.tree.map(
             lambda a: jax.device_put(a, NamedSharding(self.mesh, P())),
             state)

@@ -126,6 +126,35 @@ def test_adapter_trainer_dp_mesh_run(devices):
     assert np.isfinite(out["A_last"])
 
 
+def test_trainer_mesh_tp_ep_placement(devices):
+    """--mesh 4x2 through the trainer: frozen tower weights TP-sharded,
+    MoE expert leaves EP-sharded, and the run still trains (the model
+    axis must not be inert from the CLI — MIGRATION.md promises this)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import _TinyMixin, tiny_cfg
+    from lifelong_clip_tpu.data.registry import make_synthetic
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+
+    class T(_TinyMixin, AdapterCLIP):
+        pass
+
+    train = make_synthetic(n_classes=8, per_class=16, image_size=32, seed=0)
+    test = make_synthetic(n_classes=8, per_class=4, image_size=32, seed=0,
+                          train=False)
+    cfg = tiny_cfg(method="moe-clip", online_iter=1,
+                   peft=PEFTConfig(method="moe", encoder="image",
+                                   moe_experts=2, moe_top_k=2),
+                   mesh_shape=(4, 2))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    assert tr.state.frozen["vision"]["blocks"]["attn"][
+        "w_qkv"].sharding.spec == P(None, None, "model")
+    assert tr.state.trainable["vision"]["moe"]["experts"][
+        "w_down"].sharding.spec == P(None, "model")
+    out = tr.run()
+    assert np.isfinite(out["A_last"])
+
+
 def test_ep_moe_matches_replicated(devices):
     """Expert-parallel MoE: experts sharded over the model axis must give
     the same loss as fully replicated (GSPMD inserts the psum over the
