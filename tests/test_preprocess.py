@@ -89,3 +89,30 @@ def test_cutout_zeroes_patch():
     out = preprocess.cutout(jax.random.PRNGKey(0), x, size=16, fill=0.0)
     frac = float(jnp.mean((out == 0).astype(jnp.float32)))
     assert 0.0 < frac < 0.5
+
+
+def test_batched_warp_matches_gather_warp():
+    """The einsum-form batched warp must equal the per-sample 4-tap
+    gather warp exactly (same bilinear weights, same zero fill)."""
+    from lifelong_clip_tpu.ops.autoaugment import (_affine_warp,
+                                                   _batched_warp,
+                                                   _center_mat)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((6, 32, 32, 3)), jnp.float32)
+    # a mix of shears, rotations, translations (incl. out-of-range areas)
+    raw = np.tile(np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                           np.float32), (6, 1, 1))
+    raw[0, 0, 1] = 0.3            # shear x
+    raw[1, 1, 0] = -0.25          # shear y
+    raw[2, 0, 2] = 5.7            # translate x (subpixel)
+    raw[3, 1, 2] = -3.2
+    th = 0.4
+    raw[4] = [[np.cos(th), np.sin(th), 0], [-np.sin(th), np.cos(th), 0]]
+    raw[5] = [[1.1, 0.2, 1.5], [-0.1, 0.9, -2.0]]
+    mats = jnp.asarray(np.stack([np.asarray(_center_mat(jnp.asarray(m),
+                                                        32, 32))
+                                 for m in raw]))
+    ref = jax.vmap(_affine_warp)(x, mats)
+    got = _batched_warp(x, mats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
