@@ -363,22 +363,36 @@ _RA_OPS = ["Identity", "ShearX", "ShearY", "TranslateX", "TranslateY",
 
 
 def rand_augment_batch(rng, images, num_ops: int = 2, magnitude: int = 9):
-    """RandAugment (N ops at fixed magnitude), per sample."""
-    import numpy as np
+    """RandAugment (N ops at fixed magnitude) over the batch.
+
+    Same per-sample semantics as vmapping ``_apply_op`` (one uniformly
+    drawn op per stage, signed magnitudes), but through the batched stage
+    machinery — one gather-free warp + shared color passes per stage
+    instead of every-branch-per-sample under vmap(switch). Feeds the
+    ``--transforms randaug`` pipeline and Rainbow Memory's 12-view MC
+    uncertainty sampling (reference rainbow_memory.py:177-218).
+    """
     ra_idx = jnp.asarray([_OP_NAMES.index(n) for n in _RA_OPS], jnp.int32)
     mags = jnp.asarray([float(_OPS[n][1](float(magnitude)))
                         for n in _RA_OPS], jnp.float32)
+    signed = jnp.asarray([_OPS[n][2] is True for n in _RA_OPS], bool)
+    enh = jnp.asarray([_OPS[n][2] == "enh" for n in _RA_OPS], bool)
+    used = frozenset(_RA_OPS)
 
-    def one(rng, img):
-        for i in range(num_ops):
-            k1, k2, rng = jax.random.split(rng, 3)
-            pick = jax.random.randint(k1, (), 0, len(_RA_OPS))
-            sign = jnp.where(jax.random.bernoulli(k2), 1.0, -1.0)
-            img = _apply_op(img, ra_idx[pick], mags[pick], sign)
-        return img
-
-    rngs = jax.random.split(rng, images.shape[0])
-    return jax.vmap(one)(rngs, images)
+    b = images.shape[0]
+    x = images
+    keys = jax.random.split(rng, 2 * num_ops)
+    for i in range(num_ops):
+        pick = jax.random.randint(keys[2 * i], (b,), 0, len(_RA_OPS))
+        sign = jnp.where(jax.random.bernoulli(keys[2 * i + 1], 0.5, (b,)),
+                         1.0, -1.0)
+        oi = ra_idx[pick]
+        mg = mags[pick]
+        mg = jnp.where(signed[pick], mg * sign, mg)
+        mg = jnp.where(enh[pick], 1.0 + (mags[pick] - 1.0) * sign, mg)
+        x = _apply_stage_batched(x, oi, mg,
+                                 jnp.ones((b,), bool), used_ops=used)
+    return jnp.clip(x, 0.0, 1.0)
 
 
 # --------------------------------------------------------------------------

@@ -116,3 +116,27 @@ def test_batched_warp_matches_gather_warp():
     got = _batched_warp(x, mats)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_randaugment_batched_matches_per_sample_ops():
+    """Batched RandAugment must equal applying _apply_op per sample with
+    the same drawn (op, magnitude, sign)."""
+    from lifelong_clip_tpu.ops import autoaugment as aa
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    key = jax.random.PRNGKey(3)
+    got = aa.rand_augment_batch(key, x, num_ops=2, magnitude=9)
+
+    # replay the same draws
+    ra_idx = jnp.asarray([aa._OP_NAMES.index(n) for n in aa._RA_OPS])
+    mags = jnp.asarray([float(aa._OPS[n][1](9.0)) for n in aa._RA_OPS])
+    keys = jax.random.split(key, 4)
+    ref = x
+    for i in range(2):
+        pick = jax.random.randint(keys[2 * i], (8,), 0, len(aa._RA_OPS))
+        sign = jnp.where(
+            jax.random.bernoulli(keys[2 * i + 1], 0.5, (8,)), 1.0, -1.0)
+        ref = jax.vmap(aa._apply_op)(ref, ra_idx[pick], mags[pick], sign)
+    ref = jnp.clip(ref, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
