@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from lifelong_clip_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

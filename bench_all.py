@@ -72,6 +72,9 @@ def bench_method(method: str):
 
 
 def main(methods):
+    from lifelong_clip_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    enable_compilation_cache()
     for m in methods or FLAGSHIPS:
         try:
             bench_method(m)

@@ -177,6 +177,8 @@ def main(argv=None):
     parser = base_parser()
     args = parser.parse_args(argv)
     cfg = args_to_config(args)
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     from .methods import get_method
     trainer_cls = get_method(cfg.method)
     overrides = {attr: getattr(args, flag)
