@@ -139,3 +139,16 @@ def test_batch_prefetcher_propagates_errors():
     pf = BatchPrefetcher([np.arange(4)], bad_gather, place=lambda x: x)
     with pytest.raises(RuntimeError, match="boom"):
         list(pf)
+
+
+def test_compile_cache_setup(tmp_path, monkeypatch):
+    """Cache helper points JAX at the dir; LLC_COMPILE_CACHE=off disables."""
+    import jax
+    from lifelong_clip_tpu.utils.compile_cache import \
+        enable_compilation_cache
+    d = str(tmp_path / "xla")
+    monkeypatch.setenv("LLC_COMPILE_CACHE", d)
+    assert enable_compilation_cache() == d
+    assert jax.config.jax_compilation_cache_dir == d
+    monkeypatch.setenv("LLC_COMPILE_CACHE", "off")
+    assert enable_compilation_cache() is None
