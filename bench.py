@@ -89,8 +89,9 @@ def main():
 
     # vs_baseline: the reference publishes no throughput numbers (SURVEY
     # §6) and is CUDA/CPU-only, so the only MEASURED ratio is same-hardware
-    # CPU vs CPU — the train-core ratio from tools/bench_reference_cpu.py
-    # (XLA-CPU step time / torch-CPU step time at identical config),
+    # CPU vs CPU — the train-core speedup from tools/bench_reference_cpu.py
+    # (torch-CPU train-core ms / XLA-CPU train-core ms at identical
+    # config; >1 = this framework faster),
     # persisted in tools/cpu_baseline.json. Reported as measured, or 0.0
     # if the probe has not been run. The TPU throughput above is the
     # headline value; it has no same-hardware reference counterpart.
@@ -102,7 +103,7 @@ def main():
     if os.path.exists(cpu_json):
         with open(cpu_json) as f:
             cpu = json.load(f)
-        vs_baseline = cpu["train_core_ratio_xla_over_torch"]
+        vs_baseline = cpu["train_core_speedup_vs_torch"]
         note = ("measured same-hardware CPU ratio (torch train-core ms / "
                 "XLA-CPU train-core ms at identical config; see "
                 "tools/cpu_baseline.json — NOT a TPU-vs-GPU claim)")

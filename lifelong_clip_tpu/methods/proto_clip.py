@@ -118,10 +118,9 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         # static class-suffix length for the prefix-shared text pass:
         # cover the longest tokenized class name, bucketed to 8
         lp = 1 + min(top_k, self.num_prompt) * n_ctx
-        need = self.vocab.max_token_pos() - lp + 1
-        suffix_len = min(max(-(-need // 8) * 8, 8),
-                         self.clip_cfg.context_length - lp - 1)
-        self.suffix_len = suffix_len if need > 0 else None
+        suffix_len = pc.choose_suffix_len(self.vocab.max_token_pos(), lp,
+                                          self.clip_cfg.context_length)
+        self.suffix_len = suffix_len
 
         def stage1_step(state: TrainState, batch, task_count):
             rng, aug_rng = jax.random.split(state.rng)

@@ -291,6 +291,22 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
     return emb.astype(compute_dtype)
 
 
+def choose_suffix_len(max_token_pos: int, lp: int, context_length: int):
+    """Static suffix length for prefix sharing, or None to disable.
+
+    ``need`` = max EOT − lp + 1 tokens must fit ENTIRELY in the suffix
+    window: a clamped window would pool a pre-EOT token for any class
+    whose prompt fills the context — silently wrong features. The length
+    buckets to 8 to limit recompiles as the vocabulary grows.
+    """
+    need = max_token_pos - lp + 1
+    if need <= 0:
+        return None
+    cap = context_length - lp - 1
+    s = min(max(-(-need // 8) * 8, 8), cap)
+    return s if s >= need else None
+
+
 def proto_logits(frozen, img_feats, txt_feats_bc):
     """logits = scale · Σ img⊙txt per class (reference forward:120-124)."""
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)

@@ -446,6 +446,13 @@ def _center_mat(m, h, w):
     return jnp.array([[a, b_, tx], [c_, d, ty]], jnp.float32)
 
 
+# above this edge length the hat-tensor warp's O(B·H²·W·(H+W)·C) FLOPs
+# and (B, H, W, H) intermediates lose to the 4-tap gather (at 224px the
+# 'boxi,byic->boxyc' einsum would materialize ~GBs); below it, gathers
+# serialize on TPU and the einsum form is ~10x cheaper (measured at 32px)
+_WARP_EINSUM_MAX_SIDE = 64
+
+
 def _batched_warp(images, mats):
     """One bilinear warp per sample with per-sample matrices — as two
     batched contractions instead of gathers.
@@ -455,12 +462,16 @@ def _batched_warp(images, mats):
     max(0, 1-|t|). Building the two hat tensors ((B, H, W, H) and
     (B, H, W, W)) and contracting them against the image turns the warp
     into MXU work. TPU gathers serialize — the vmapped 4-tap gather warp
-    this replaces was ~3 ms/stage at bs=64x32px, ~6 ms of the headline
-    step's preprocessing; this form is ~10x cheaper. Exact same math as
+    was ~3 ms/stage at bs=64x32px, ~6 ms of the headline step's
+    preprocessing; this form is ~10x cheaper. Exact same math as
     `_affine_warp` (incl. zero fill: out-of-range coords zero every hat
-    weight), asserted by tests/test_preprocess.py.
+    weight), asserted by tests/test_preprocess.py. Large images (native
+    224px datasets augment before resize) route to the gather warp, where
+    the quartic hat-tensor scaling would dominate instead.
     """
     b, h, w, c = images.shape
+    if max(h, w) > _WARP_EINSUM_MAX_SIDE:
+        return jax.vmap(_affine_warp)(images, mats)
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     a = mats[:, 0, 0][:, None, None]
@@ -493,6 +504,10 @@ def _batched_equalize(images):
     are integers <= 255, all exactly representable.
     """
     b, h, w, c = images.shape
+    if h * w > 64 * 64:
+        # the (B, C, H·W, 256) one-hot is ~5 GB at 224px — per-sample
+        # equalize is the right trade at native high resolution
+        return jax.vmap(equalize)(images)
     levels = jnp.round(images * 255.0).astype(jnp.int32)        # (B,H,W,C)
     lv = levels.transpose(0, 3, 1, 2).reshape(b, c, h * w)      # (B,C,N)
     onehot = jax.nn.one_hot(lv, 256, dtype=jnp.bfloat16)        # (B,C,N,256)

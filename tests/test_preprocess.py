@@ -140,3 +140,52 @@ def test_randaugment_batched_matches_per_sample_ops():
     ref = jnp.clip(ref, 0.0, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_batched_warp_highres_guard_matches():
+    """Above the einsum-size threshold the warp routes to the gather path
+    (the hat-tensor form would materialize GB-scale intermediates at
+    224px); both forms agree at any size."""
+    from lifelong_clip_tpu.ops.autoaugment import (_WARP_EINSUM_MAX_SIDE,
+                                                   _affine_warp,
+                                                   _batched_warp,
+                                                   _center_mat)
+    assert _WARP_EINSUM_MAX_SIDE < 224
+    rng = np.random.default_rng(7)
+    s = _WARP_EINSUM_MAX_SIDE + 16
+    x = jnp.asarray(rng.random((2, s, s, 3)), jnp.float32)
+    m = np.tile(np.array([[1.0, 0.3, 0.0], [0.0, 1.0, 2.5]], np.float32),
+                (2, 1, 1))
+    mats = jnp.asarray(np.stack([np.asarray(_center_mat(jnp.asarray(mm),
+                                                        s, s))
+                                 for mm in m]))
+    got = _batched_warp(x, mats)
+    ref = jax.vmap(_affine_warp)(x, mats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_batched_equalize_matches_per_sample_both_sides_of_guard():
+    from lifelong_clip_tpu.ops.autoaugment import (_batched_equalize,
+                                                   equalize)
+    rng = np.random.default_rng(9)
+    for s in (32, 72):  # one-hot path / per-sample fallback
+        x = jnp.asarray(rng.integers(0, 256, (3, s, s, 3)) / 255.0,
+                        jnp.float32)
+        got = _batched_equalize(x)
+        ref = jax.vmap(equalize)(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5)
+
+
+def test_choose_suffix_len_boundaries():
+    """Prefix sharing must disable rather than clamp below the EOT reach
+    (a clamped window pools a pre-EOT token — wrong features)."""
+    from lifelong_clip_tpu.models.proto_clip import choose_suffix_len
+    # typical: lp=25, longest EOT at 33 -> need 9 -> bucket 16
+    assert choose_suffix_len(33, 25, 77) == 16
+    # EOT inside the prefix: nothing to share-suffix over
+    assert choose_suffix_len(20, 25, 77) is None
+    # exact fit at capacity: cap = 77-25-1 = 51, need 51 -> allowed
+    assert choose_suffix_len(75, 25, 77) == 51
+    # need exceeds capacity (EOT at the window edge): fall back entirely
+    assert choose_suffix_len(76, 25, 77) is None

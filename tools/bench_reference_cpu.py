@@ -187,10 +187,10 @@ def main(batch=8, iters=3):
                    "n_classes": n_cls, "iters": iters},
         "image_fwd_torch_ms": round(t_ref * 1e3, 1),
         "image_fwd_xla_ms": round(t_ours * 1e3, 1),
-        "image_fwd_ratio_xla_over_torch": round(t_ref / t_ours, 4),
+        "image_fwd_speedup_vs_torch": round(t_ref / t_ours, 4),
         "train_core_torch_ms": round(t_ref_train * 1e3, 1),
         "train_core_xla_ms": round(t_ours_train * 1e3, 1),
-        "train_core_ratio_xla_over_torch": round(
+        "train_core_speedup_vs_torch": round(
             t_ref_train / t_ours_train, 4),
         "note": "same-hardware CPU measurement (oneDNN vs XLA-CPU); the "
                 "reference image tower cannot train as shipped — see "
