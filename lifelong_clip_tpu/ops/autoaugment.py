@@ -4,7 +4,9 @@ The reference applies PIL-based AutoAugment policies per image on the host
 (``utils/augment.py:24-265``) or via torchvision on batched GPU tensors
 with a uint8 round-trip (``methods/_trainer.py:216-229``). Here every op is
 a jit-compatible function over float images in [0, 1]; policy selection is
-a per-sample ``lax.switch``, affine ops are bilinear gather warps, and the
+a per-sample ``lax.switch``, affine ops are bilinear warps (hat-weight
+contractions on the MXU at small sizes, 4-tap gathers at native high
+resolution), and the
 whole thing fuses into the train step (north-star item in BASELINE.json).
 
 Policy tables follow the published AutoAugment policies (ImageNet / CIFAR10
