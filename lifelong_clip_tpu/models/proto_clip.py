@@ -266,22 +266,16 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
 
     suffix = emb_table[class_tokens[:, lp:lp + s]].astype(compute_dtype)
     suffix = suffix + pos[lp:lp + s]                          # (C, S, D)
-    suf_bc = jnp.broadcast_to(suffix[None], (b, c, s, d)).reshape(b * c, s, d)
-    n_layers = layer_states.shape[0]
-    states_bc = jnp.broadcast_to(
-        layer_states[:, :, None], (n_layers, b, c, lp, d)
-    ).reshape(n_layers, b * c, lp, d)
+    suf = jnp.broadcast_to(suffix[None], (b, c, s, d))
 
     # suffix tokens attend to the full prefix + causally among themselves.
-    # attn_impl='xla': the fused kernels run one program per batch row,
-    # which underutilizes the MXU at S≈8-token rows; the einsum path
-    # batches all B·C rows into large matmuls.
-    x = clip_fns.transformer(suf_bc, t["blocks"], cfg.text_heads,
-                             mask=causal_mask(s, prefix=lp),
-                             layer_prompts=states_bc, prompt_ln=True,
-                             attn_impl="xla", remat=True,
-                             base_grads=False)
-    x = clip_fns.layer_norm(x, t["ln_final"]).reshape(b, c, s, d)
+    # The pass keeps the (B, C) pair structure explicit so the per-SAMPLE
+    # prefix K/V projects once and broadcasts across all C classes inside
+    # the attention einsums — no (L, B·C, lp, D) state materialization and
+    # no per-pair prefix LN/projection work (both scale with C).
+    x = _suffix_pass_grouped(t, suf, layer_states, cfg.text_heads,
+                             act=cfg.act)
+    x = clip_fns.layer_norm(x, t["ln_final"])
     eot_s = jnp.clip(eot - lp, 0, s - 1).astype(jnp.int32)    # (C,)
     pooled = jnp.take_along_axis(
         x, jnp.broadcast_to(eot_s[None, :, None, None], (b, c, 1, 1)),
@@ -289,6 +283,84 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
     emb = jnp.einsum("bcd,de->bce", pooled, t["text_projection"],
                      preferred_element_type=jnp.float32, precision=_P)
     return emb.astype(compute_dtype)
+
+
+def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
+                         act: str = "quick_gelu"):
+    """Transformer over class suffixes with per-sample prefix KV.
+
+    ``suf``: (B, C, S, D) suffix token activations; ``layer_states``:
+    (L, B, lp, D) collected block inputs of the per-sample prefix pass.
+    Per layer, the prefix K/V is projected ONCE per sample from the
+    ln_1'd state and enters the attention einsums with a free C axis —
+    the broadcast never materializes. Suffix queries see [prefix | causal
+    suffix]. Per-layer remat (B·C pairs would otherwise blow HBM).
+    Numerically equivalent to running the generic KV-prefix transformer
+    over B·C rows (tests/test_proto_clip.py pins values and grads against
+    the full 77-token pass).
+    """
+    from .clip import _ACTS, layer_norm
+
+    b, c, s, d = suf.shape
+    dh = d // n_heads
+    scale = dh ** -0.5
+    causal = causal_mask(s)                                    # (s, s)
+
+    def body(h, xs):
+        blk, state = xs["blk"], xs["state"]
+        w_qkv, b_qkv = blk["attn"]["w_qkv"], blk["attn"]["b_qkv"]
+        pre = layer_norm(state, blk["ln_1"])                   # (B, lp, D)
+        kv_pre = jnp.einsum("bld,de->ble", pre, w_qkv[:, d:],
+                            preferred_element_type=jnp.float32,
+                            precision=_P) + b_qkv[d:]
+        kv_pre = kv_pre.astype(pre.dtype)
+        lp_ = kv_pre.shape[1]
+        k_pre = kv_pre[..., :d].reshape(b, lp_, n_heads, dh)
+        v_pre = kv_pre[..., d:].reshape(b, lp_, n_heads, dh)
+
+        hn = layer_norm(h, blk["ln_1"])
+        qkv = jnp.einsum("bcsd,de->bcse", hn, w_qkv,
+                         preferred_element_type=jnp.float32,
+                         precision=_P) + b_qkv
+        qkv = qkv.astype(h.dtype)
+        q = qkv[..., :d].reshape(b, c, s, n_heads, dh)
+        k = qkv[..., d:2 * d].reshape(b, c, s, n_heads, dh)
+        v = qkv[..., 2 * d:].reshape(b, c, s, n_heads, dh)
+        sc_pre = jnp.einsum("bcshe,blhe->bchsl", q, k_pre,
+                            preferred_element_type=jnp.float32,
+                            precision=_P) * scale
+        sc_suf = jnp.einsum("bcshe,bcthe->bchst", q, k,
+                            preferred_element_type=jnp.float32,
+                            precision=_P) * scale + causal
+        probs = jax.nn.softmax(
+            jnp.concatenate([sc_pre, sc_suf], axis=-1), axis=-1)
+        p_pre = probs[..., :lp_].astype(v.dtype)
+        p_suf = probs[..., lp_:].astype(v.dtype)
+        ctx = (jnp.einsum("bchsl,blhe->bcshe", p_pre, v_pre,
+                          preferred_element_type=jnp.float32,
+                          precision=_P)
+               + jnp.einsum("bchst,bcthe->bcshe", p_suf, v,
+                            preferred_element_type=jnp.float32,
+                            precision=_P))
+        ctx = ctx.reshape(b, c, s, d).astype(h.dtype)
+        out = jnp.einsum("bcsd,do->bcso", ctx, blk["attn"]["w_out"],
+                         preferred_element_type=jnp.float32,
+                         precision=_P) + blk["attn"]["b_out"]
+        h = h + out.astype(h.dtype)
+
+        h2 = layer_norm(h, blk["ln_2"])
+        m = jnp.einsum("bcsd,de->bcse", h2, blk["mlp"]["w_fc"],
+                       preferred_element_type=jnp.float32,
+                       precision=_P) + blk["mlp"]["b_fc"]
+        m = _ACTS[act](m.astype(h2.dtype))
+        m = jnp.einsum("bcse,ed->bcsd", m, blk["mlp"]["w_proj"],
+                       preferred_element_type=jnp.float32,
+                       precision=_P) + blk["mlp"]["b_proj"]
+        return h + m.astype(h.dtype), None
+
+    xs = {"blk": t["blocks"], "state": layer_states}
+    h, _ = jax.lax.scan(jax.checkpoint(body), suf, xs)
+    return h
 
 
 def choose_suffix_len(max_token_pos: int, lp: int, context_length: int):
