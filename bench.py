@@ -55,8 +55,10 @@ def main():
     tokens[:, 1:8] = rng.integers(1000, 40000, (n_cls, 7))
     tokens[:, 8] = 49407
     from lifelong_clip_tpu.models import clip as clip_fns
-    txt = jax.jit(lambda t: clip_fns.normalize(clip_fns.encode_text(
-        params, t, cfg)))(jnp.asarray(tokens))
+    # params as an ARGUMENT: capturing them would bake ~600 MB of
+    # constants into the HLO the tunnel uploads to the remote compiler
+    txt = jax.jit(lambda p, t: clip_fns.normalize(clip_fns.encode_text(
+        p, t, cfg)))(params, jnp.asarray(tokens))
     batch = {
         "images": jnp.asarray(rng.integers(0, 255,
                                            (batch_size, 32, 32, 3),

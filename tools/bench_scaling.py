@@ -45,8 +45,8 @@ def bench(batch_size: int):
     tokens[:, 0] = 49406
     tokens[:, 1:8] = rng.integers(1000, 40000, (n_cls, 7))
     tokens[:, 8] = 49407
-    txt = jax.jit(lambda t: clip_fns.normalize(clip_fns.encode_text(
-        params, t, cfg)))(jnp.asarray(tokens))
+    txt = jax.jit(lambda p, t: clip_fns.normalize(clip_fns.encode_text(
+        p, t, cfg)))(params, jnp.asarray(tokens))
     batch = {
         "images": jnp.asarray(rng.integers(
             0, 255, (batch_size, 32, 32, 3), np.uint8)),
