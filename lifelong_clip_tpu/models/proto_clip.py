@@ -101,36 +101,36 @@ def copl_prefixes(copl, query, layers: int, *, task_count: int,
         live = jnp.zeros((pool,), bool)
         use = idx < f
 
-    def synth(k_pool, a_pool, p_pool):
-        k_eff = jnp.where(live[:, None], k_pool,
-                          jax.lax.stop_gradient(k_pool))
-        a_eff = jnp.where(live[:, None], a_pool,
-                          jax.lax.stop_gradient(a_pool))
-        p_eff = jnp.where(live[:, None, None], p_pool,
-                          jax.lax.stop_gradient(p_pool))
-        aq = query[:, None, :] * a_eff[None]                 # (B, P, D)
-        nk = k_eff / (jnp.linalg.norm(k_eff, axis=-1,
-                                      keepdims=True) + 1e-8)
-        nq = aq / (jnp.linalg.norm(aq, axis=-1, keepdims=True) + 1e-8)
-        w = jnp.einsum("bpd,pd->bp", nq, nk, precision=_P)
-        w = jnp.where(use[None, :], w, 0.0)                  # mask future
-        pr = jnp.einsum("bp,pld->bld", w, p_eff, precision=_P)
-        half = pr.shape[1] // 2
-        return pr[:, :half], pr[:, half:]
+    # one vectorized synthesis over ALL prompt layers (the prompt-layer
+    # axis rides the einsums): the per-layer python loop this replaces
+    # emitted ~15 tiny kernels per layer and its backward ~3x that —
+    # measured 4.9 ms fwd / 46 ms fwd+bwd of pure dispatch for ~0.1 GFLOP
+    n_live = sum(1 for l in COPL_LAYERS if l < layers)
+    assert tuple(COPL_LAYERS[:n_live]) == tuple(range(n_live)), \
+        "vectorized synthesis assumes contiguous prompt layers from 0"
+
+    def eff(p, extra_dims):
+        m = live.reshape((1, -1) + (1,) * extra_dims)
+        return jnp.where(m, p, jax.lax.stop_gradient(p))
+
+    k_eff = eff(copl["k"][:n_live], 1)                   # (C, P, D)
+    a_eff = eff(copl["a"][:n_live], 1)
+    p_eff = eff(copl["p"][:n_live], 2)                   # (C, P, 2h, D)
+    aq = query[None, :, None, :] * a_eff[:, None]        # (C, B, P, D)
+    nk = k_eff / (jnp.linalg.norm(k_eff, axis=-1, keepdims=True) + 1e-8)
+    nq = aq / (jnp.linalg.norm(aq, axis=-1, keepdims=True) + 1e-8)
+    w = jnp.einsum("cbpd,cpd->cbp", nq, nk, precision=_P)
+    w = jnp.where(use[None, None, :], w, 0.0)            # mask future
+    pr = jnp.einsum("cbp,cpld->cbld", w, p_eff, precision=_P)
+    half = pr.shape[2] // 2
 
     b = query.shape[0]
-    half = copl["p"].shape[2] // 2
     d = copl["p"].shape[-1]
-    ek = jnp.zeros((layers, b, half, d), dtype)
-    ev = jnp.zeros((layers, b, half, d), dtype)
+    pad = jnp.zeros((layers - n_live, b, half, d), dtype)
+    ek = jnp.concatenate([pr[:, :, :half].astype(dtype), pad], axis=0)
+    ev = jnp.concatenate([pr[:, :, half:].astype(dtype), pad], axis=0)
     valid = np.zeros((layers, half), bool)
-    for i, layer in enumerate(COPL_LAYERS):
-        if layer >= layers:
-            continue
-        k_, v_ = synth(copl["k"][i], copl["a"][i], copl["p"][i])
-        ek = ek.at[layer].set(k_.astype(dtype))
-        ev = ev.at[layer].set(v_.astype(dtype))
-        valid[layer, :] = True
+    valid[:n_live] = True
     return {"k": ek, "v": ev}, jnp.asarray(valid)
 
 

@@ -236,3 +236,94 @@ def test_prefix_shared_text_features_match_full(frozen, proto):
     np.testing.assert_allclose(np.asarray(g_fast["text_key"]),
                                np.asarray(g_full["text_key"]),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_copl_prefixes_vectorized_matches_per_layer_loop():
+    """The layer-vectorized CoPL synthesis must equal the straightforward
+    per-layer loop (values and pool gradients)."""
+    import jax
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import CLIPConfig
+    from lifelong_clip_tpu.models import proto_clip as pc
+
+    cfg = CLIPConfig(embed_dim=32, image_size=32, patch_size=8,
+                     vision_width=64, vision_layers=9, vision_heads=4,
+                     context_length=16, vocab_size=128, text_width=64,
+                     text_heads=4, text_layers=2)
+    copl = {k: v for k, v in pc.init_proto_params(
+        jax.random.PRNGKey(0), cfg, copl_pool=10)["copl"].items()}
+    query = jax.random.normal(jax.random.PRNGKey(1), (5, 64), jnp.float32)
+
+    def reference(copl, query, layers, task_count, n_tasks, train):
+        pool = copl["k"].shape[1]
+        pt = pool // max(n_tasks, 1)
+        s, f = task_count * pt, (task_count + 1) * pt
+        idx = jnp.arange(pool)
+        live = ((idx >= s) & (idx < f)) if train \
+            else jnp.zeros((pool,), bool)
+        use = idx < f
+
+        def synth(k_pool, a_pool, p_pool):
+            k_eff = jnp.where(live[:, None], k_pool,
+                              jax.lax.stop_gradient(k_pool))
+            a_eff = jnp.where(live[:, None], a_pool,
+                              jax.lax.stop_gradient(a_pool))
+            p_eff = jnp.where(live[:, None, None], p_pool,
+                              jax.lax.stop_gradient(p_pool))
+            aq = query[:, None, :] * a_eff[None]
+            nk = k_eff / (jnp.linalg.norm(k_eff, axis=-1,
+                                          keepdims=True) + 1e-8)
+            nq = aq / (jnp.linalg.norm(aq, axis=-1,
+                                       keepdims=True) + 1e-8)
+            w = jnp.einsum("bpd,pd->bp", nq, nk)
+            w = jnp.where(use[None, :], w, 0.0)
+            pr = jnp.einsum("bp,pld->bld", w, p_eff)
+            half = pr.shape[1] // 2
+            return pr[:, :half], pr[:, half:]
+
+        b = query.shape[0]
+        half = copl["p"].shape[2] // 2
+        d = copl["p"].shape[-1]
+        ek = jnp.zeros((layers, b, half, d), jnp.float32)
+        ev = jnp.zeros((layers, b, half, d), jnp.float32)
+        for i, layer in enumerate(pc.COPL_LAYERS):
+            if layer >= layers:
+                continue
+            k_, v_ = synth(copl["k"][i], copl["a"][i], copl["p"][i])
+            ek = ek.at[layer].set(k_)
+            ev = ev.at[layer].set(v_)
+        return ek, ev
+
+    for task_count, train in ((0, True), (1, True), (1, False)):
+        got, valid = pc.copl_prefixes(copl, query, cfg.vision_layers,
+                                      task_count=task_count, n_tasks=2,
+                                      train=train, dtype=jnp.float32)
+        ek_ref, ev_ref = reference(copl, query, cfg.vision_layers,
+                                   task_count, 2, train)
+        np.testing.assert_allclose(np.asarray(got["k"]),
+                                   np.asarray(ek_ref), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(got["v"]),
+                                   np.asarray(ev_ref), atol=2e-6)
+        assert valid[:7].all() and not valid[7:].any()
+
+    # pool gradients match (live-slice masking preserved)
+    def loss_new(c):
+        pr, _ = pc.copl_prefixes(c, query, cfg.vision_layers,
+                                 task_count=0, n_tasks=2, train=True,
+                                 dtype=jnp.float32)
+        return jnp.sum(pr["k"] ** 2) + jnp.sum(pr["v"] ** 2)
+
+    def loss_ref(c):
+        ek, ev = reference(c, query, cfg.vision_layers, 0, 2, True)
+        return jnp.sum(ek ** 2) + jnp.sum(ev ** 2)
+
+    g_new = jax.grad(loss_new)(copl)
+    g_ref = jax.grad(loss_ref)(copl)
+    for k in ("p", "k", "a"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_ref[k]), atol=2e-5,
+                                   rtol=2e-5)
+    # task 0: live slice = first half of the pool; future slice masked
+    pt = copl["k"].shape[1] // 2
+    assert float(jnp.abs(g_new["p"][:, :pt]).max()) > 0
+    assert float(jnp.abs(g_new["p"][:, pt:]).max()) == 0.0
