@@ -319,8 +319,18 @@ class _MeshMixin:
                 else jax.tree.map(
                     lambda a: jax.device_put(
                         a, NamedSharding(self.mesh, P())), state.opt_state)
-            return state.replace(frozen=frozen, trainable=trainable,
-                                 opt_state=opt_state)
+            state = state.replace(frozen=frozen, trainable=trainable,
+                                  opt_state=opt_state)
+            # remaining leaves (rng, step, ...) get explicit replicated
+            # placements too — same discipline as the replicated branch
+            placed = {"frozen", "trainable", "opt_state"}
+            rest = {f: jax.tree.map(
+                        lambda a: jax.device_put(
+                            a, NamedSharding(self.mesh, P())),
+                        getattr(state, f))
+                    for f in state.__dataclass_fields__
+                    if f not in placed}
+            return state.replace(**rest)
         return jax.tree.map(
             lambda a: jax.device_put(a, NamedSharding(self.mesh, P())),
             state)

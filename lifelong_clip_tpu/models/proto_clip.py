@@ -251,9 +251,10 @@ def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,
     c = class_tokens.shape[0]
     d = emb_table.shape[-1]
 
-    # SOS id: column 0 of any real class row; padding rows are zeros, so
-    # the column max is the SOT id whenever at least one class is exposed
-    sos_id = jnp.max(class_tokens[:, 0])
+    # SOS id is static: the BPE vocab appends <|startoftext|> then
+    # <|endoftext|> (utils/tokenizer.py:88), so SOT = vocab_size - 2
+    # (49406 for CLIP's 49408 vocab) — independent of the table layout
+    sos_id = cfg.vocab_size - 2
     sos = jnp.broadcast_to(emb_table[sos_id][None, None], (b, 1, d))
     prefix = jnp.concatenate(
         [sos.astype(compute_dtype), ctx.astype(compute_dtype)],

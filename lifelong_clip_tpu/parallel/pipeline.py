@@ -19,8 +19,10 @@ Autodiff gives the reverse schedule for free: ``ppermute``'s transpose is
 the inverse permutation and the tick loop is a ``lax.scan``, so one
 ``jax.grad`` of the shard_mapped forward runs the standard backward
 pipeline. Bubble ticks process garbage that never reaches an output, so
-their cotangents are exactly zero — gradients are bitwise the sums the
-unpipelined tower produces (equivalence-tested in tests/test_pipeline.py).
+their cotangents are exactly zero — gradients are numerically equivalent
+to the unpipelined sums up to reduction order (the psum epilogue and the
+microbatch split can legitimately reorder the adds; equivalence-tested at
+tight tolerances in tests/test_pipeline.py).
 """
 
 from __future__ import annotations
