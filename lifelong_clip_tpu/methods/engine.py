@@ -41,7 +41,8 @@ class TrainState(struct.PyTreeNode):
 
 
 def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
-                 peft_cfg: PEFTConfig, compute_dtype, attn_impl: str):
+                 peft_cfg: PEFTConfig, compute_dtype, attn_impl: str,
+                 moe_rng=None):
     """CLIP forward with PEFT trees routed to their towers."""
     logits, img_f, txt_f = clip_fns.clip_forward(
         frozen, images, tokens, clip_cfg, peft_cfg=peft_cfg,
@@ -50,13 +51,13 @@ def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         # tower weights live in `frozen`, which the train step never
         # differentiates — skip base-weight grad work in the fused bwd
-        base_grads=False)
+        base_grads=False, moe_rng=moe_rng)
     return logits, img_f, txt_f
 
 
 def peft_forward_cached_text(frozen, trainable, images, txt_features,
                              clip_cfg: CLIPConfig, peft_cfg: PEFTConfig,
-                             compute_dtype, attn_impl: str):
+                             compute_dtype, attn_impl: str, moe_rng=None):
     """Image-only-PEFT forward against precomputed normalized text features.
 
     When the text tower carries no trainable parameters its per-class
@@ -68,7 +69,7 @@ def peft_forward_cached_text(frozen, trainable, images, txt_features,
         frozen, images, clip_cfg,
         peft_cfg=peft_cfg if peft_cfg.on_vision() else None,
         peft=trainable.get("vision"), compute_dtype=compute_dtype,
-        attn_impl=attn_impl, base_grads=False)
+        attn_impl=attn_impl, base_grads=False, moe_rng=moe_rng)
     img = clip_fns.normalize(img)
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
@@ -121,8 +122,14 @@ def make_train_step(clip_cfg: CLIPConfig,
 
     compute_loss = loss_fn or default_loss
 
+    # train-time MoE gate noise (reference noisy_top_k_gating,
+    # models/clip/model.py:571-576) — a fresh key per step from the state
+    # rng; eval paths never pass one, so they gate on clean logits
+    moe_noise = peft_cfg is not None and peft_cfg.method == "moe" \
+        and forward_fn is None
+
     def step(state: TrainState, batch):
-        rng, aug_rng, mix_rng = jax.random.split(state.rng, 3)
+        rng, aug_rng, mix_rng, moe_rng = jax.random.split(state.rng, 4)
         if pipeline is not None:
             images = pipeline(aug_rng, batch["images"])
         else:
@@ -140,8 +147,9 @@ def make_train_step(clip_cfg: CLIPConfig,
             y_soft = jnp.where(do, y_mixed, y_soft)
 
         def objective(trainable):
+            kw = {"moe_rng": moe_rng} if moe_noise else {}
             logits, img_f, txt_f = fwd(state.frozen, trainable, images,
-                                       batch["tokens"])
+                                       batch["tokens"], **kw)
             logits = logits + batch["mask"][None, :]
             if use_cutmix:
                 loss = jnp.mean(optax.softmax_cross_entropy(logits, y_soft))

@@ -69,7 +69,8 @@ def _adapter_apply(y, p, scale: float):
 
 def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
            peft, kv_prefix, attn_impl: str, act: str = "quick_gelu",
-           prompt_ln: bool = False, base_grads: bool = True):
+           prompt_ln: bool = False, base_grads: bool = True,
+           moe_rng=None):
     """One residual attention block; PEFT branches resolve at trace time.
 
     ``prompt_ln`` selects sequence-append prompt semantics (reference
@@ -119,7 +120,7 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             lora_scaling, mask, lora_arrays, base_grads)
         if adapter is not None:
             y = y + _adapter_apply(y - x, adapter, peft_cfg.adapter_scale)
-        return _mlp_half(y, blk, adapter, moe, act, peft_cfg)
+        return _mlp_half(y, blk, adapter, moe, act, peft_cfg, moe_rng)
 
     # prompted blocks (prompt pools / prefix prompts): fused kernel with
     # pk/pv joining the KV source
@@ -143,7 +144,7 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
             if adapter is not None:
                 y = y + _adapter_apply(y - x, adapter,
                                        peft_cfg.adapter_scale)
-            return _mlp_half(y, blk, adapter, moe, act, peft_cfg)
+            return _mlp_half(y, blk, adapter, moe, act, peft_cfg, moe_rng)
 
     h = layer_norm(x, blk["ln_1"])
     if kv_prefix is None:
@@ -160,10 +161,10 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
         a = a + _adapter_apply(a, adapter, peft_cfg.adapter_scale)
     x = x + a
 
-    return _mlp_half(x, blk, adapter, moe, act, peft_cfg)
+    return _mlp_half(x, blk, adapter, moe, act, peft_cfg, moe_rng)
 
 
-def _mlp_half(x, blk, adapter, moe, act, peft_cfg=None):
+def _mlp_half(x, blk, adapter, moe, act, peft_cfg=None, moe_rng=None):
     """Second block half: x + MLP(LN2(x)) (+ adapter/MoE deltas)."""
     h = layer_norm(x, blk["ln_2"])
     m = jnp.einsum("btd,de->bte", h, blk["mlp"]["w_fc"],
@@ -180,9 +181,11 @@ def _mlp_half(x, blk, adapter, moe, act, peft_cfg=None):
         # MoE-of-adapters delta joins the MLP residual, gated on the CLS
         # token of the post-attention activations (reference _MoA.forward,
         # models/clip/model.py:596-636) — dense all-expert combine instead
-        # of data-dependent scatter/gather.
+        # of data-dependent scatter/gather. A per-layer ``moe_rng`` turns
+        # on the reference's train-time gate noise (noisy_top_k_gating,
+        # model.py:571-576); eval passes rng=None for clean-logit gating.
         from ..ops.moe import moe_adapter_apply
-        m = m + moe_adapter_apply(x, moe, peft_cfg)
+        m = m + moe_adapter_apply(x, moe, peft_cfg, rng=moe_rng)
     return x + m
 
 
@@ -200,7 +203,8 @@ def transformer(x,
                 prompt_ln: bool = False,
                 remat: bool = False,
                 collect_inputs: bool = False,
-                base_grads: bool = True):
+                base_grads: bool = True,
+                moe_rng=None):
     """Scan the stacked residual blocks over the depth axis.
 
     ``remat=True`` wraps the scan body in ``jax.checkpoint`` so the
@@ -229,6 +233,14 @@ def transformer(x,
     xs = {"blk": blocks}
     if peft is not None:
         xs["peft"] = peft
+    if moe_rng is not None and peft_cfg is not None \
+            and peft_cfg.method == "moe":
+        # one key per layer as scan data — each block's gate noise draw is
+        # independent (mirrors per-module noise in reference _MoA). Keys
+        # MUST arrive as step arguments, never jit-captured constants
+        # (constant folding would freeze the "noise").
+        n_layers = jax.tree.leaves(blocks)[0].shape[0]
+        xs["moe_rng"] = jax.random.split(moe_rng, n_layers)
     if layer_prompts is not None:
         def bcast(lp):
             if lp.ndim == 3:
@@ -253,7 +265,8 @@ def transformer(x,
             m = sl["pmask"] if m is None else m + sl["pmask"]
         h_out = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
                        sl.get("prompts"), attn_impl, act,
-                       prompt_ln=prompt_ln, base_grads=base_grads)
+                       prompt_ln=prompt_ln, base_grads=base_grads,
+                       moe_rng=sl.get("moe_rng"))
         return h_out, (h if collect_inputs else None)
 
     x, layer_inputs = jax.lax.scan(
@@ -291,7 +304,8 @@ def encode_image(params,
                  attn_impl: Optional[str] = None,
                  return_tokens: bool = False,
                  base_grads: bool = True,
-                 depth_runner=None):
+                 depth_runner=None,
+                 moe_rng=None):
     """Vision tower. ``images``: (B, H, W, 3) normalized floats.
 
     ``depth_runner`` swaps the depth loop implementation (same signature
@@ -324,12 +338,13 @@ def encode_image(params,
     if cfg.use_ln_pre:
         x = layer_norm(x, v["ln_pre"])
     runner = depth_runner or transformer
+    extra = {} if moe_rng is None else {"moe_rng": moe_rng}
     x = runner(x, v["blocks"], cfg.vision_heads,
                peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
                else None,
                peft=pv, layer_prompts=layer_prompts,
                attn_impl=attn_impl, act=cfg.act,
-               base_grads=base_grads)
+               base_grads=base_grads, **extra)
     pooled = layer_norm(x[:, :1], v["ln_post"])[:, 0]
     emb = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)
@@ -348,7 +363,8 @@ def encode_text(params,
                 layer_prompts=None,
                 compute_dtype=jnp.bfloat16,
                 attn_impl: Optional[str] = None,
-                base_grads: bool = True):
+                base_grads: bool = True,
+                moe_rng=None):
     """Text tower. ``tokens``: (B, context_length) int32.
 
     Pools features at the EOT position (argmax of token ids — EOT has the
@@ -365,7 +381,7 @@ def encode_text(params,
                     else None,
                     peft=pt, layer_prompts=layer_prompts,
                     attn_impl=attn_impl, act=cfg.act,
-                    base_grads=base_grads)
+                    base_grads=base_grads, moe_rng=moe_rng)
     x = layer_norm(x, t["ln_final"])
     eot = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None].astype(jnp.int32),
@@ -390,21 +406,27 @@ def clip_forward(params,
                  peft_text=None,
                  compute_dtype=jnp.bfloat16,
                  attn_impl: Optional[str] = None,
-                 base_grads: bool = True):
+                 base_grads: bool = True,
+                 moe_rng=None):
     """Joint forward: (logits_per_image, image_feats, text_feats).
 
     Parity with reference ``CLIP.forward`` (model.py:958-975), minus the
     transposed duplicate logits_per_text (derivable by the caller).
+    ``moe_rng`` (train steps only) turns on noisy top-k gating in any MoE
+    blocks; None (the eval default) gates on clean logits.
     """
+    rng_v = rng_t = None
+    if moe_rng is not None:
+        rng_v, rng_t = jax.random.split(moe_rng)
     img = normalize(encode_image(params, images, cfg, peft_cfg=peft_cfg,
                                  peft=peft_vision,
                                  compute_dtype=compute_dtype,
                                  attn_impl=attn_impl,
-                                 base_grads=base_grads))
+                                 base_grads=base_grads, moe_rng=rng_v))
     txt = normalize(encode_text(params, tokens, cfg, peft_cfg=peft_cfg,
                                 peft=peft_text, compute_dtype=compute_dtype,
                                 attn_impl=attn_impl,
-                                base_grads=base_grads))
+                                base_grads=base_grads, moe_rng=rng_t))
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
                                 txt.astype(jnp.float32))

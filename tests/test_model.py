@@ -167,6 +167,35 @@ def test_moe_forward_runs(tiny_params):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_moe_train_gate_noise_varies_with_key(tiny_params):
+    """moe_rng turns on noisy top-k gating (reference model.py:571-576):
+    different keys -> different outputs; rng=None (eval) is deterministic
+    clean-logit gating."""
+    peft_cfg = PEFTConfig(method="moe", encoder="image", moe_experts=4,
+                          moe_top_k=2)
+    peft = build_peft(jax.random.PRNGKey(9), TINY, peft_cfg)
+    # experts are zero-init (residual delta) — make them matter so gate
+    # perturbations reach the output
+    peft["vision"]["moe"]["experts"]["w_up"] = jax.random.normal(
+        jax.random.PRNGKey(3),
+        peft["vision"]["moe"]["experts"]["w_up"].shape)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
+
+    def run(moe_rng):
+        return np.asarray(clip_fns.encode_image(
+            tiny_params, imgs, TINY, peft_cfg=peft_cfg,
+            peft=peft["vision"], compute_dtype=jnp.float32,
+            moe_rng=moe_rng))
+
+    a = run(jax.random.PRNGKey(0))
+    b = run(jax.random.PRNGKey(1))
+    clean1 = run(None)
+    clean2 = run(None)
+    assert not np.allclose(a, b)
+    np.testing.assert_array_equal(clean1, clean2)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+
+
 def test_kv_prefix_prompts(tiny_params):
     """Layer prompts change the output and keep shapes fixed."""
     imgs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
