@@ -125,14 +125,14 @@ class OnlineTrainer:
                 # reference runs epochNum passes per task
                 # (_trainer.py:336); the online default here is one pass
                 for epoch in range(max(int(cfg.epoch_num), 1)):
-                    # host-side gather of batch N+1 overlaps the device
-                    # step for batch N (device placement stays in
-                    # online_step, after replay concat / padding)
+                    # host-side gather of batch N+1 — and, when no replay
+                    # concat will touch the images on host, their device
+                    # upload too — overlaps the device step for batch N
                     from ..data.prefetch import BatchPrefetcher
                     pf = BatchPrefetcher(
                         iter_batches(task_indices, cfg.batchsize),
-                        self.train_dataset.gather, place=lambda x: x,
-                        depth=2)
+                        self.train_dataset.gather,
+                        place=self._prefetch_place(), depth=2)
                     for bi, (batch_idx, images, labels) in enumerate(pf):
                         if (task_id == start_task and epoch == 0
                                 and bi < start_batch):
@@ -281,14 +281,43 @@ class OnlineTrainer:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def _prefetch_place(self):
+        """Device-upload hook for the batch prefetcher.
 
-def pad_batch(images: np.ndarray, labels: np.ndarray, batch_size: int):
-    """Pad a short tail batch to the static step shape; returns valid count."""
+        With no replay memory the step consumes the stream images as-is,
+        so the prefetch thread can ``device_put`` them (sharded over the
+        data axis when a mesh is active) and the host→HBM upload overlaps
+        the previous step's device work. Replay-concat trainers
+        (memory_size > 0) assemble the step batch with np.concatenate on
+        host, so they keep images host-side (the identity)."""
+        if self.cfg.memory_size > 0:
+            return lambda x: x
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            n = mesh.shape[DATA_AXIS]
+
+            def put(x):
+                spec = P(DATA_AXIS) if x.shape[0] % n == 0 else P()
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            return put
+        return jax.device_put
+
+
+def pad_batch(images, labels, batch_size: int):
+    """Pad a short tail batch to the static step shape; returns valid count.
+
+    ``images`` may already live on device (prefetcher upload) — padding
+    then stays on device instead of pulling the batch back to host."""
     n = len(labels)
     if n == batch_size:
         return images, labels, n
     reps = -(-batch_size // n)
-    images = np.concatenate([images] * reps, axis=0)[:batch_size]
+    cat = jnp.concatenate if isinstance(images, jax.Array) \
+        else np.concatenate
+    images = cat([images] * reps, axis=0)[:batch_size]
     labels = np.concatenate([labels] * reps, axis=0)[:batch_size]
     return images, labels, n
 
