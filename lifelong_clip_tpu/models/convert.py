@@ -60,7 +60,8 @@ def infer_config(sd) -> CLIPConfig:
     if "visual.proj" in sd:  # ViT
         vision_width = sd["visual.conv1.weight"].shape[0]
         patch_size = sd["visual.conv1.weight"].shape[-1]
-        vision_layers = len({k.split(".")[2] for k in sd
+        # layer index is the 4th component: visual.transformer.resblocks.N
+        vision_layers = len({k.split(".")[3] for k in sd
                              if k.startswith("visual.transformer.resblocks")})
         grid = int(round(
             (sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
