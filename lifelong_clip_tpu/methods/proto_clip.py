@@ -288,7 +288,11 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         n_tasks = self.cfg.stream.n_tasks
         task_size = max(len(slots) // max(self.task_count + 1, 1), 1)
 
+        # reference stage-2 uses SGD(momentum=0.9, weight_decay=self.wd=0)
+        # (Trainer_ProtoCLIP.py:476-479) — distinct from the generic
+        # select_optimizer sgd, which has no momentum
         tx = make_optimizer("sgd", self.stage2_lr, sched_name="cos",
+                            momentum=0.9, weight_decay=0.0,
                             total_steps=self.ca_epochs * max(
                                 len(slots) * self.num_sampled_pcls // 16, 1))
         opt_state = tx.init(self.state.trainable)

@@ -43,15 +43,33 @@ def make_schedule(sched_name: str, lr: float, *,
     raise ValueError(f"unknown scheduler {sched_name!r}")
 
 
+# reference select_optimizer's per-optimizer weight decays
+# (utils/train_utils.py:21-28): adam 0, radam 1e-5, sgd 1e-4 (coupled L2,
+# momentum 0), adamw 1e-5 (decoupled)
+_REF_WD = {"adam": 0.0, "adamw": 1e-5, "radam": 1e-5, "sgd": 1e-4}
+
+
 def make_optimizer(opt_name: str,
                    lr: float,
                    *,
                    sched_name: str = "default",
                    total_steps: int = 10_000,
-                   weight_decay: float = 0.0,
+                   weight_decay: Optional[float] = None,
+                   momentum: float = 0.0,
                    grad_clip: Optional[float] = None) -> optax.GradientTransformation:
-    """adam/adamw/radam/sgd over a schedule (reference train_utils.py:16-31)."""
+    """adam/adamw/radam/sgd over a schedule (reference train_utils.py:16-31).
+
+    ``weight_decay=None`` resolves to the reference's per-optimizer
+    default. torch's Adam-family/SGD weight decay is COUPLED L2 (added to
+    the grad before the update), so adam/radam/sgd decay goes through
+    ``add_decayed_weights`` in front of the transform; AdamW is decoupled
+    on both sides.
+    """
+    if weight_decay is None:
+        weight_decay = _REF_WD.get(opt_name, 0.0)
     schedule = make_schedule(sched_name, lr, total_steps=total_steps)
+    pre = [optax.add_decayed_weights(weight_decay)] \
+        if (weight_decay and opt_name != "adamw") else []
     if opt_name == "adam":
         tx = optax.adam(schedule)
     elif opt_name == "adamw":
@@ -59,9 +77,11 @@ def make_optimizer(opt_name: str,
     elif opt_name == "radam":
         tx = optax.radam(schedule)
     elif opt_name == "sgd":
-        tx = optax.sgd(schedule, momentum=0.9)
+        tx = optax.sgd(schedule, momentum=momentum or None)
     else:
         raise ValueError(f"unknown optimizer {opt_name!r}")
+    if pre:
+        tx = optax.chain(*pre, tx)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
