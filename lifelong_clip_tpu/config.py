@@ -166,6 +166,13 @@ class TrainConfig:
     epoch_num: int = 1
     # class-name prompt template (reference --text_template)
     text_template: str = "a bad photo of a {}."
+    # The reference AdapterCLIP wrapper returns SOFTMAXED probs and the
+    # trainer applies CrossEntropyLoss on top (models/adapter_clip.py:94-100
+    # + methods/adapter_clip.py:87-89) — an evident quirk, but the shipped
+    # training math the paper's lora/adapter numbers come from. True (the
+    # default) mirrors it for the adapter-clip family; False trains plain
+    # CE on logits.
+    ce_on_probs: bool = True
     visible_classes: str = "batch"   # batch | all
     peft: PEFTConfig = dataclasses.field(default_factory=PEFTConfig)
     stream: StreamConfig = dataclasses.field(default_factory=StreamConfig)

@@ -68,6 +68,11 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--note", type=str, default="")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--ce_on_probs", type=int, default=1,
+                   help="1 (default): adapter-clip family trains CE on "
+                        "softmaxed probs, mirroring the reference's "
+                        "shipped math (models/adapter_clip.py:94-100); "
+                        "0: plain CE on logits")
     p.add_argument("--synthetic_fallback", action="store_true",
                    help="substitute synthetic data when the real dataset "
                         "is not on disk")
@@ -153,7 +158,8 @@ def args_to_config(args) -> TrainConfig:
         debug=args.debug, mesh_shape=mesh, n_worker=args.n_worker,
         seed=args.seed, profile=args.profile, ckpt_dir=args.ckpt_dir,
         resume_from=args.resume_from, epoch_num=args.epochNum,
-        text_template=args.text_template)
+        text_template=args.text_template,
+        ce_on_probs=bool(args.ce_on_probs))
 
 
 # method-behavior flags map onto trainer class attributes (the reference

@@ -71,6 +71,7 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
         # from the hot loop; the reference recomputes it every step)
         self._use_text_cache = not self.peft_cfg.on_text()
         self._step_txt_cache = {}
+        from .engine import ce_on_probs_loss
         self._train_step = make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
@@ -80,7 +81,10 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
                             "svhn" if "svhn" in cfg.dataset else "imagenet"),
             cached_text=self._use_text_cache,
             compute_dtype=self.compute_dtype,
-            attn_impl=self._attn_impl)
+            attn_impl=self._attn_impl,
+            # reference adapter-clip trains CE on softmaxed probs
+            # (see engine.ce_on_probs_loss); --ce_on_probs 0 opts out
+            loss_fn=ce_on_probs_loss if cfg.ce_on_probs else None)
         self._text_fn = make_text_feature_fn(
             self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype,
             attn_impl=self._attn_impl)
@@ -155,6 +159,12 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
         if self.cfg.debug:
             log.info("task %d | exposed classes: %d", task_id,
                      len(self.vocab))
+        # the reference rebuilds the optimizer at every task boundary
+        # (online_before_task -> reset_opt, methods/adapter_clip.py:127 +
+        # _trainer.py:536-538): fresh moments + restarted schedule
+        if task_id > 0:
+            self.state = self.state.replace(
+                opt_state=self.tx.init(self.state.trainable))
 
     # -- eval -------------------------------------------------------------------
     def prepare_eval(self):

@@ -42,7 +42,7 @@ class TrainState(struct.PyTreeNode):
 
 def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
                  peft_cfg: PEFTConfig, compute_dtype, attn_impl: str,
-                 moe_rng=None):
+                 moe_rng=None, remat: bool = False):
     """CLIP forward with PEFT trees routed to their towers."""
     logits, img_f, txt_f = clip_fns.clip_forward(
         frozen, images, tokens, clip_cfg, peft_cfg=peft_cfg,
@@ -51,13 +51,14 @@ def peft_forward(frozen, trainable, images, tokens, clip_cfg: CLIPConfig,
         compute_dtype=compute_dtype, attn_impl=attn_impl,
         # tower weights live in `frozen`, which the train step never
         # differentiates — skip base-weight grad work in the fused bwd
-        base_grads=False, moe_rng=moe_rng)
+        base_grads=False, moe_rng=moe_rng, remat=remat)
     return logits, img_f, txt_f
 
 
 def peft_forward_cached_text(frozen, trainable, images, txt_features,
                              clip_cfg: CLIPConfig, peft_cfg: PEFTConfig,
-                             compute_dtype, attn_impl: str, moe_rng=None):
+                             compute_dtype, attn_impl: str, moe_rng=None,
+                             remat: bool = False):
     """Image-only-PEFT forward against precomputed normalized text features.
 
     When the text tower carries no trainable parameters its per-class
@@ -75,6 +76,18 @@ def peft_forward_cached_text(frozen, trainable, images, txt_features,
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
                                 txt_features.astype(jnp.float32))
     return logits, img, txt_features
+
+
+def ce_on_probs_loss(logits, labels):
+    """CE applied to softmaxed probs — the reference adapter-clip family's
+    shipped training math (models/adapter_clip.py:94-100 returns probs,
+    methods/adapter_clip.py:89 applies CrossEntropyLoss on them). Padded
+    (-inf-masked) class slots are excluded from BOTH softmaxes, matching
+    the reference's exactly-K-class table."""
+    probs = jax.nn.softmax(logits, axis=-1)      # -inf slots -> exactly 0
+    z = jnp.where(jnp.isfinite(logits), probs, -jnp.inf)
+    return optax.softmax_cross_entropy_with_integer_labels(
+        z, labels).mean()
 
 
 def make_train_step(clip_cfg: CLIPConfig,

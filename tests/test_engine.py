@@ -118,7 +118,9 @@ def test_zero_shot_run(synth):
 
 def test_lora_online_run_loss_decreases(synth):
     train, test = synth
-    cfg = tiny_cfg(method="lora-clip", online_iter=2,
+    # lr compensates the damped gradients of the reference's CE-on-probs
+    # training math (the adapter-clip family default, engine.ce_on_probs_loss)
+    cfg = tiny_cfg(method="lora-clip", online_iter=2, lr=1e-2,
                    peft=PEFTConfig(method="lora", encoder="image",
                                    lora_r=4))
     tr = TinyAdapterCLIP(cfg, train_dataset=train, test_dataset=test)

@@ -1,0 +1,429 @@
+"""Whole-run behavioral parity against the reference trainer.
+
+Runs the reference's ACTUAL ``_Trainer.run()`` loop — the real
+``methods/adapter_clip.py:AdapterCLIP`` over the real ``OnlineSampler``,
+``Memory``, optimizer factory, and CE-on-probs training math — next to
+this repo's ``OnlineTrainer.run()`` on the same tiny towers (identical
+converted weights incl. LoRA), the same synthetic data, and the same
+Si-Blurry stream, then compares per-step training-loss trajectories and
+per-task accuracy trajectories.
+
+Harness notes (all confined to this file; reference behavior unmodified):
+  * missing third-party deps of the reference (torchvision, randaugment,
+    ftfy, torch_optimizer, pip `clip`) are stubbed — the stubs implement
+    the exact tensor math the reference pipeline needs (ToTensor /
+    Normalize), with the stochastic crops/flips as identity so BOTH sides
+    run deterministic preprocessing;
+  * the shipped ``prompt=`` crash (VisualTransformer.forward passes a
+    kwarg vanilla/LoRA blocks don't accept, reference model.py:780) is
+    patched by letting visual blocks swallow the kwarg — the evidently
+    intended behavior, exactly as PARITY.md documents;
+  * ``nn.DataParallel`` is applied on CPU (reference online_step requires
+    ``.module``; CPU DataParallel forwards straight to the module);
+  * the reference's task-end eval scores with a class table of
+    ``all_classnames[:_total_classes]`` where slot index == class id
+    (its online_after_task + online_evaluate quirk) — the comparison
+    mirrors that exact metric on our side.
+"""
+
+import os
+import sys
+import types
+import importlib.util
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason="reference tree unavailable")
+
+N_CLASSES = 20
+BATCH = 16
+# n_tasks=10 is the one value where the reference's own eval runs: its
+# online_evaluate allocates correct_l=zeros(n_tasks) but _interpret_pred
+# returns hardcoded zeros(10) bins (adapter_clip.py:121 + _trainer.py:521)
+# — any other task count crashes the shipped eval
+N_TASKS = 10
+LR = 2e-3
+SEED = 1
+
+
+# --------------------------------------------------------------------------
+# stubs for reference deps missing in this environment
+# --------------------------------------------------------------------------
+
+def _install_stubs():
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    if "randaugment" not in sys.modules:
+        ra = types.ModuleType("randaugment")
+
+        class RandAugment:  # never active: transforms=[]
+            def __call__(self, x):
+                return x
+
+        ra.RandAugment = RandAugment
+        sys.modules["randaugment"] = ra
+
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+
+    if "torch_optimizer" not in sys.modules:
+        to = types.ModuleType("torch_optimizer")
+        to.RAdam = torch.optim.Adam  # unused on the adamw path
+        sys.modules["torch_optimizer"] = to
+
+    if "clip" not in sys.modules:
+        sys.modules["clip"] = types.ModuleType("clip")
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+
+        class Compose:
+            def __init__(self, fns):
+                self.fns = fns
+
+            def __call__(self, x):
+                for f in self.fns:
+                    x = f(x)
+                return x
+
+        class _Identity:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        class ToTensor:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):  # HWC uint8 -> CHW float/255
+                t = torch.from_numpy(np.asarray(x).copy())
+                return t.permute(2, 0, 1).float() / 255.0
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, x):  # CHW or BCHW
+                return (x - self.mean.to(x.dtype)) / self.std.to(x.dtype)
+
+        for name in ("Resize", "RandomCrop", "RandomHorizontalFlip",
+                     "CenterCrop", "RandomResizedCrop", "AutoAugment",
+                     "AutoAugmentPolicy", "Lambda"):
+            setattr(tr, name, _Identity)
+        tr.Compose = Compose
+        tr.ToTensor = ToTensor
+        tr.Normalize = Normalize
+        tr.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic",
+                                                     BILINEAR="bilinear")
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+
+
+def _package(name: str, path: str):
+    """Register a namespace package pointing at a reference directory
+    WITHOUT executing its __init__.py (the real ones import timm etc.)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    pkg = types.ModuleType(name)
+    pkg.__path__ = [path]
+    sys.modules[name] = pkg
+    return pkg
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    """Reference trainer importable + fake datasets/models registries."""
+    _install_stubs()
+    import torch
+
+    _package("utils", os.path.join(REFERENCE, "utils"))
+    _package("methods", os.path.join(REFERENCE, "methods"))
+    models_pkg = _package("models", os.path.join(REFERENCE, "models"))
+
+    # the shared data both frameworks train on
+    from lifelong_clip_tpu.data.registry import get_dataset as our_get_ds
+    ds_train = our_get_ds("synthetic-20", train=True)
+    ds_test = our_get_ds("synthetic-20", train=False)
+
+    class _RefSynth:
+        """torchvision-style wrapper over the same arrays."""
+        def __init__(self, root=None, train=True, download=False,
+                     transform=None):
+            self._ds = ds_train if train else ds_test
+            self.transform = transform
+            self.classes = list(range(N_CLASSES))
+            self.classes_names = list(self._ds.class_names)
+            self.targets = [int(t) for t in self._ds.targets]
+
+        def __getitem__(self, i):
+            img = self._ds.images[i]          # HWC uint8
+            if self.transform is not None:
+                img = self.transform(img)
+            return img, int(self._ds.targets[i])
+
+        def __len__(self):
+            return len(self._ds.targets)
+
+    datasets_stub = types.ModuleType("datasets")
+    datasets_stub.get_dataset = lambda name: (
+        _RefSynth, tuple(ds_train.mean), tuple(ds_train.std), N_CLASSES)
+    sys.modules["datasets"] = datasets_stub
+
+    # tiny reference CLIP served through the real wrapper
+    import models.clip.model as ref_model_mod  # noqa: E402
+    import models.clip.clip_loader as ref_loader  # noqa: E402
+
+    def tiny_loader(name, device=None, jit=False, design_details=None):
+        torch.manual_seed(0)
+        # heads = width // 64 everywhere (the CLIP head-dim convention the
+        # shape-driven config inference relies on, reference model.py:1041)
+        m = ref_model_mod.CLIP(
+            embed_dim=64, image_resolution=32, vision_layers=2,
+            vision_width=64, vision_patch_size=8, context_length=77,
+            vocab_size=49408, transformer_width=64, transformer_heads=1,
+            transformer_layers=2,
+            design_details=design_details or {}).float()
+        # in-harness patch for the shipped prompt= crash (model.py:780):
+        # visual blocks accept-and-drop the kwarg
+        for blk in m.visual.transformer.resblocks:
+            blk.forward = (lambda o: (
+                lambda x, register_blk=False, prompt=None: o(x)))(blk.forward)
+        return m
+
+    ref_loader.load = tiny_loader
+
+    import models.adapter_clip as ref_adapter_mod  # noqa: E402
+    models_pkg.get_model = lambda model_name=None, method=None, \
+        peft_encoder="image", **kw: (
+            ref_adapter_mod.AdapterCLIP(model_name="tiny",
+                                        peft_method="lora",
+                                        peft_encoder=peft_encoder,
+                                        device=torch.device("cpu")), 32)
+
+    import methods._trainer as ref_trainer_mod  # noqa: E402
+    import methods.adapter_clip as ref_adapter_trainer  # noqa: E402
+
+    # CPU DataParallel so online_step's `.module` works (the nohup.out
+    # crash in the reference comes from the missing wrap on 1 GPU)
+    orig_sdm = ref_trainer_mod._Trainer.setup_distributed_model
+
+    def patched_sdm(self):
+        orig_sdm(self)
+        if not hasattr(self.custom_clip, "module"):
+            self.custom_clip = torch.nn.DataParallel(self.custom_clip)
+
+    ref_trainer_mod._Trainer.setup_distributed_model = patched_sdm
+
+    return types.SimpleNamespace(
+        trainer_cls=ref_adapter_trainer.AdapterCLIP,
+        tiny_loader=tiny_loader,
+        ds_train=ds_train, ds_test=ds_test,
+        tmp=tmp_path_factory.mktemp("refrun"))
+
+
+def _ref_kwargs(log_path: str):
+    return dict(
+        method="lora-clip", dataset="synthetic-20", model_name="tiny",
+        n=50, m=10, rnd_NM=False, n_tasks=N_TASKS, epochNum=1,
+        rnd_seed=SEED, memory_size=0, log_path=log_path,
+        opt_name="adamw", sched_name="const", batchsize=BATCH,
+        test_batchsize=32, n_worker=0, lr=LR, init_model=False,
+        init_opt=True, topk=1, use_amp=False, transforms=[],
+        reg_coef=100, data_dir="./data", debug=False, note="parity",
+        selection_size=1, ca=False, ssca=False, ca_epochs=5,
+        model_type=None, feature_dim=64, num_prompt=0, n_ctx=0, topK=1,
+        text_template="a bad photo of a {}.", peft_encoder="image",
+        num_sampled_pcls=0, eval_period=100000, temp_batchsize=0,
+        online_iter=1, num_gpus=1, workers_per_gpu=0,
+        imp_update_period=1, zero_shot_evaluation=False,
+        zero_shot_dataset=None, lr_step=0.95, lr_length=10, lr_period=10,
+        memory_epoch=0, distilling=False, agem_batch=0, mir_cands=0,
+        visible_classes="batch")
+
+
+def _run_reference(ref_env):
+    tr = ref_env.trainer_cls(**_ref_kwargs(str(ref_env.tmp)))
+    losses = []
+    orig_step = tr.online_step
+
+    def record_step(images, labels, idx):
+        loss, acc = orig_step(images, labels, idx)
+        losses.append(float(loss))
+        return loss, acc
+
+    tr.online_step = record_step
+    tr.run()
+    # per-task quirky-metric accuracies saved by save_result
+    acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
+    return np.asarray(acc, np.float64), np.asarray(losses)
+
+
+def _run_ours(ref_env, monkeypatch, tmp_path):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import (TrainConfig, PEFTConfig,
+                                          StreamConfig)
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+    from lifelong_clip_tpu.utils.stream import exposed_test_indices
+    from lifelong_clip_tpu.utils.tokenizer import tokenize
+    from lifelong_clip_tpu.ops import preprocess as prep
+
+    # identical initial weights: the reference loader's state dict through
+    # the converter
+    ref_model = ref_env.tiny_loader("tiny", design_details={
+        "method": "lora", "peft_encoder": "image",
+        "lora_alpha": 1, "lora_r": 4})
+    sd = {k: v.detach().float().numpy()
+          for k, v in ref_model.state_dict().items()}
+    ckpt = tmp_path / "tiny_ref.pt"
+    torch.save(ref_model.state_dict(), str(ckpt))
+
+    # identical LoRA init (reference kaiming A / zero B)
+    def stack(key):
+        return np.stack([sd[f"visual.transformer.resblocks.{i}.{key}"]
+                         for i in range(2)])
+
+    lora_tree = {"lora": {
+        "a_in": jnp.asarray(stack("attn.in_proj_weight_lora_A")
+                            .transpose(0, 2, 1)),
+        "b_in": jnp.asarray(stack("attn.in_proj_weight_lora_B")
+                            .transpose(0, 2, 1)),
+        "a_out": jnp.asarray(stack("attn.out_proj.lora_A")
+                             .transpose(0, 2, 1)),
+        "b_out": jnp.asarray(stack("attn.out_proj.lora_B")
+                             .transpose(0, 2, 1)),
+    }}
+    import lifelong_clip_tpu.methods.adapter_clip as ours_mod
+    monkeypatch.setattr(ours_mod, "build_peft",
+                        lambda rng, ccfg, pcfg: {"vision": lora_tree,
+                                                 "text": None})
+    # pin build_clip to the converted reference weights regardless of what
+    # earlier tests left behind (test_engine._TinyMixin patches the symbol
+    # in every methods module and never restores it)
+    from lifelong_clip_tpu.models.convert import load_clip_params
+    monkeypatch.setattr(ours_mod, "build_clip",
+                        lambda *a, **k: load_clip_params(str(ckpt)))
+
+    # deterministic preprocessing mirroring the stubbed reference pipeline
+    def det_pipeline(image_size, mean, std, **kw):
+        m = np.asarray(mean, np.float32)
+        s = np.asarray(std, np.float32)
+        out_dtype = kw.get("out_dtype", jnp.float32)
+
+        def run(rng, images_u8):
+            x = images_u8.astype(jnp.float32) / 255.0
+            return ((x - m) / s).astype(out_dtype)
+
+        return run
+
+    monkeypatch.setattr(prep, "make_train_pipeline", det_pipeline)
+
+    quirky = []
+
+    class ParityTrainer(AdapterCLIP):
+        def online_after_task(self, task_id):
+            super().online_after_task(task_id)
+            # reference _total_classes: disjoint_class_num reshapes ALL
+            # class names over tasks (online_sampler.py:62-63 never slices
+            # to disjoint_num), so each task "introduces"
+            # n_classes/n_tasks ids regardless of the Si-Blurry split
+            total = (task_id + 1) * N_CLASSES // N_TASKS
+            quirky.append(self._quirky_eval(total))
+
+        def _quirky_eval(self, total_classes: int) -> float:
+            """Reference eval: table = all_classnames[:_total_classes],
+            slot index == class id, over exposed-class test samples."""
+            names = self.train_dataset.class_names[:total_classes]
+            toks = tokenize([self.cfg.text_template.format(n)
+                             for n in names],
+                            context_length=self.clip_cfg.context_length)
+            feats = self._text_fn(self.state.frozen, self.state.trainable,
+                                  jnp.asarray(toks))
+            mask = jnp.zeros((total_classes,), jnp.float32)
+            idx = exposed_test_indices(self.test_dataset.targets,
+                                       self.vocab.exposed)
+            bs = 32
+            correct = total = 0
+            for lo in range(0, len(idx), bs):
+                chunk = idx[lo:lo + bs]
+                images, labels = self.test_dataset.gather(chunk)
+                n = len(chunk)
+                if n < bs:
+                    images = np.concatenate(
+                        [images] * (-(-bs // n)), axis=0)[:bs]
+                preds, _ = self._eval_fn(
+                    self.state.frozen, self.state.trainable,
+                    jnp.asarray(images), feats, mask)
+                preds = np.asarray(preds)[:n]
+                correct += int((preds == labels).sum())
+                total += n
+            return correct / max(total, 1)
+
+    cfg = TrainConfig(
+        # model_name is a placeholder preset: the real (tiny) architecture
+        # is inferred from the checkpoint via pretrained_path
+        method="lora-clip", dataset="synthetic-20", model_name="ViT-B/16",
+        pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
+        online_iter=1, temp_batchsize=0, lr=LR, opt_name="adamw",
+        sched_name="default", memory_size=0, eval_period=100000,
+        visible_classes="batch",
+        peft=PEFTConfig(method="lora", encoder="image", lora_r=4,
+                        lora_alpha=1),
+        stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
+                            seed=SEED),
+        transforms=(), use_bf16=False, log_path=str(tmp_path),
+        seed=SEED)
+
+    tr = ParityTrainer(cfg, train_dataset=ref_env.ds_train,
+                       test_dataset=ref_env.ds_test)
+    losses = []
+    orig_step = tr.online_step
+
+    def record_step(images, labels, idx):
+        stats = orig_step(images, labels, idx)
+        losses.append(float(stats["loss"]))
+        return stats
+
+    tr.online_step = record_step
+    tr.run()
+    return np.asarray(quirky, np.float64), np.asarray(losses)
+
+
+def test_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    ref_acc, ref_losses = _run_reference(ref_env)
+    our_acc, our_losses = _run_ours(ref_env, monkeypatch, tmp_path)
+
+    assert len(ref_losses) == len(our_losses), \
+        "step counts differ: stream/batching diverged"
+    # step 0: identical weights + deterministic transforms -> the loss is
+    # the same forward math; tight agreement pins CE-on-probs + tower
+    # parity through both training stacks
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    # early trajectory: fp32 accumulation drift only
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    # whole-run loss trajectory stays close in the mean
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
+
+    # per-task accuracy trajectories (the reference's own quirky metric,
+    # mirrored exactly on our side); fp32 drift can flip a borderline
+    # prediction or two, hence the small absolute slack
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.01)
