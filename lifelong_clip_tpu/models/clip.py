@@ -33,6 +33,23 @@ _P = jax.lax.Precision.HIGHEST
 from ..config import CLIPConfig, PEFTConfig
 from ..ops.attention import causal_mask, multi_head_attention
 
+# layers per lax.scan iteration (partial unroll). One layer per iteration
+# keeps the HLO minimal but pays per-iteration scan overhead (measured
+# ~60 ms fwd+bwd vs ~26 ms fully unrolled for the prompted ViT-B tower,
+# PARITY.md); a FULL unroll explodes remote-compile time through the TPU
+# tunnel. Grouping G layers per iteration amortizes the overhead at G×
+# body size — the compile-time sweet spot. Env-tunable for sweeps.
+import os
+_SCAN_GROUP = int(os.environ.get("LLC_SCAN_GROUP", "4"))
+
+
+def _resolve_group(n_layers: int, pref: Optional[int]) -> int:
+    g = _SCAN_GROUP if pref is None else pref
+    g = max(min(g, n_layers), 1)
+    while n_layers % g:
+        g -= 1
+    return g
+
 
 def layer_norm(x, p, eps: float = 1e-5):
     """LayerNorm computed in fp32 and cast back (reference model.py:194-200)."""
@@ -204,7 +221,8 @@ def transformer(x,
                 remat: bool = False,
                 collect_inputs: bool = False,
                 base_grads: bool = True,
-                moe_rng=None):
+                moe_rng=None,
+                scan_group: Optional[int] = None):
     """Scan the stacked residual blocks over the depth axis.
 
     ``remat=True`` wraps the scan body in ``jax.checkpoint`` so the
@@ -259,15 +277,30 @@ def transformer(x,
             # (L, 1, 1, P + T): broadcast over batch, heads, queries
             xs["pmask"] = full[:, None, None, :]
 
-    def body(h, sl):
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    g = _resolve_group(n_layers, scan_group)
+    if g > 1:
+        xs = jax.tree.map(
+            lambda a: a.reshape((n_layers // g, g) + a.shape[1:]), xs)
+
+    def one_layer(h, sl):
         m = mask
         if "pmask" in sl:
             m = sl["pmask"] if m is None else m + sl["pmask"]
-        h_out = _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
-                       sl.get("prompts"), attn_impl, act,
-                       prompt_ln=prompt_ln, base_grads=base_grads,
-                       moe_rng=sl.get("moe_rng"))
-        return h_out, (h if collect_inputs else None)
+        return _block(h, sl["blk"], n_heads, m, peft_cfg, sl.get("peft"),
+                      sl.get("prompts"), attn_impl, act,
+                      prompt_ln=prompt_ln, base_grads=base_grads,
+                      moe_rng=sl.get("moe_rng"))
+
+    def body(h, sl):
+        if g == 1:
+            return one_layer(h, sl), (h if collect_inputs else None)
+        ins = []
+        for j in range(g):
+            if collect_inputs:
+                ins.append(h)
+            h = one_layer(h, jax.tree.map(lambda a: a[j], sl))
+        return h, (jnp.stack(ins) if collect_inputs else None)
 
     x, layer_inputs = jax.lax.scan(
         jax.checkpoint(body) if remat else body, x, xs)
@@ -275,6 +308,9 @@ def transformer(x,
         # per-layer block INPUTS (L, B, T, D) — the states a later pass can
         # inject as ln_1-processed KV prefixes (prefix sharing: under a
         # causal mask these are independent of any tokens to their right)
+        if g > 1:
+            layer_inputs = layer_inputs.reshape(
+                (n_layers,) + layer_inputs.shape[2:])
         return x, layer_inputs
     return x
 
@@ -305,8 +341,12 @@ def encode_image(params,
                  return_tokens: bool = False,
                  base_grads: bool = True,
                  depth_runner=None,
-                 moe_rng=None):
+                 moe_rng=None,
+                 remat: bool = False):
     """Vision tower. ``images``: (B, H, W, 3) normalized floats.
+
+    ``remat=True`` checkpoints the block scan (backward recomputes block
+    intermediates) — the large-batch (bs>=128) activation-spill fix.
 
     ``depth_runner`` swaps the depth loop implementation (same signature
     as ``transformer``) — e.g. parallel/pipeline.py's pipelined runner.
@@ -339,6 +379,8 @@ def encode_image(params,
         x = layer_norm(x, v["ln_pre"])
     runner = depth_runner or transformer
     extra = {} if moe_rng is None else {"moe_rng": moe_rng}
+    if remat:
+        extra["remat"] = True     # conditional: alternate depth_runners
     x = runner(x, v["blocks"], cfg.vision_heads,
                peft_cfg=peft_cfg if (peft_cfg and peft_cfg.on_vision())
                else None,
@@ -364,7 +406,8 @@ def encode_text(params,
                 compute_dtype=jnp.bfloat16,
                 attn_impl: Optional[str] = None,
                 base_grads: bool = True,
-                moe_rng=None):
+                moe_rng=None,
+                remat: bool = False):
     """Text tower. ``tokens``: (B, context_length) int32.
 
     Pools features at the EOT position (argmax of token ids — EOT has the
@@ -381,7 +424,7 @@ def encode_text(params,
                     else None,
                     peft=pt, layer_prompts=layer_prompts,
                     attn_impl=attn_impl, act=cfg.act,
-                    base_grads=base_grads, moe_rng=moe_rng)
+                    base_grads=base_grads, moe_rng=moe_rng, remat=remat)
     x = layer_norm(x, t["ln_final"])
     eot = jnp.argmax(tokens, axis=-1)
     pooled = jnp.take_along_axis(x, eot[:, None, None].astype(jnp.int32),
@@ -407,7 +450,8 @@ def clip_forward(params,
                  compute_dtype=jnp.bfloat16,
                  attn_impl: Optional[str] = None,
                  base_grads: bool = True,
-                 moe_rng=None):
+                 moe_rng=None,
+                 remat: bool = False):
     """Joint forward: (logits_per_image, image_feats, text_feats).
 
     Parity with reference ``CLIP.forward`` (model.py:958-975), minus the
@@ -422,11 +466,13 @@ def clip_forward(params,
                                  peft=peft_vision,
                                  compute_dtype=compute_dtype,
                                  attn_impl=attn_impl,
-                                 base_grads=base_grads, moe_rng=rng_v))
+                                 base_grads=base_grads, moe_rng=rng_v,
+                                 remat=remat))
     txt = normalize(encode_text(params, tokens, cfg, peft_cfg=peft_cfg,
                                 peft=peft_text, compute_dtype=compute_dtype,
                                 attn_impl=attn_impl,
-                                base_grads=base_grads, moe_rng=rng_t))
+                                base_grads=base_grads, moe_rng=rng_t,
+                                remat=remat))
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
                                 txt.astype(jnp.float32))

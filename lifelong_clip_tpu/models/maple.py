@@ -91,7 +91,7 @@ def _scan_with_replacement(x, blocks, n_heads, mask, replace, n_ctx,
     """
     vals, flags = replace
 
-    def body(h, sl):
+    def one_layer(h, sl):
         blk, val, flag = sl["blk"], sl["val"], sl["flag"]
         rep = jnp.broadcast_to(val[None], (h.shape[0],) + val.shape)
         rep = rep.astype(h.dtype)
@@ -104,12 +104,24 @@ def _scan_with_replacement(x, blocks, n_heads, mask, replace, n_ctx,
         # MaPLe trains only the learner (ctx/compound/projections) —
         # prompt grads flow through the replaced token positions (dx),
         # never through the frozen block weights
-        h = clip_fns._block(h, blk, n_heads, mask, None, None, None, None,
-                            base_grads=False)
+        return clip_fns._block(h, blk, n_heads, mask, None, None, None,
+                               None, base_grads=False)
+
+    xs = {"blk": blocks, "val": vals, "flag": flags}
+    n_layers = flags.shape[0]
+    g = clip_fns._resolve_group(n_layers, None)   # partial unroll
+    if g > 1:
+        xs = jax.tree.map(
+            lambda a: a.reshape((n_layers // g, g) + a.shape[1:]), xs)
+
+    def body(h, sl):
+        if g == 1:
+            return one_layer(h, sl), None
+        for j in range(g):
+            h = one_layer(h, jax.tree.map(lambda a: a[j], sl))
         return h, None
 
-    x, _ = jax.lax.scan(body, x, {"blk": blocks, "val": vals,
-                                  "flag": flags})
+    x, _ = jax.lax.scan(body, x, xs)
     return x
 
 
