@@ -1,11 +1,16 @@
 """Fully-fused attention sub-block kernel: LN -> qkv -> SDPA -> out + res.
 
 Goes one level beyond ``flash_attention``: the whole pre-MLP half of a
-transformer block runs in one VMEM-resident program per batch row —
-LayerNorm (fp32), fused qkv projection, per-head softmax attention, output
-projection, and the residual add. Intermediates (qkv, scores, ctx) never
-touch HBM; the weight blocks stay VMEM-resident across the batch grid
-(constant index_map), so HBM traffic is ~(weights once + x in + out out).
+transformer block runs in one VMEM-resident program per GROUP of batch
+rows — LayerNorm (fp32), fused qkv projection, per-head softmax attention,
+output projection, and the residual add. Intermediates (qkv, scores, ctx)
+never touch HBM; the weight blocks stay VMEM-resident across the batch
+grid (constant index_map), so HBM traffic is ~(weights once + x in + out
+out). Batching R rows per program (R=4 fwd / 2 bwd by default, the
+``tools/sweep_fused_rows.py`` winners; see ``_ROWS_FWD``) fattens the
+projection matmuls from M=Tp to M=R*Tp — the
+per-row grid ran them at the skinny-matmul rate (~64 TFLOP/s vs ~93
+achievable at ViT-B shapes on v5e).
 
 Forward AND backward are hand-written kernels (custom_vjp): the backward
 recomputes probabilities from the bf16 qkv instead of saving them, fuses
@@ -30,13 +35,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# rows per Pallas program. One row per program (r2 design) leaves the
+# M=197 projection matmuls too skinny for the MXU: measured ~64 TFLOP/s
+# against a ~93 TFLOP/s FLOP-weighted achievable at ViT-B block shapes
+# (VERDICT r2). Batching R rows fattens every projection to M = R*Tp and
+# the dW contractions to K = R*Tp; attention stays per-row via batched
+# dot_generals. Env-tunable for hardware sweeps.
+import os
+_ROWS_FWD = int(os.environ.get("LLC_FUSED_ROWS_FWD", "4"))
+_ROWS_BWD = int(os.environ.get("LLC_FUSED_ROWS_BWD", "2"))
+
+
+def _pick_rows(b: int, pref: int) -> int:
+    r = max(min(pref, b), 1)
+    while b % r:
+        r -= 1
+    return r
+
+
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
             w_out_ref, b_out_ref, mask_ref, a_in_ref, b_in_ref,
             a_out_ref, b_out_lora_ref, o_ref, *, n_heads: int, t: int,
             lora_scaling: float, eps: float = 1e-5):
-    x = x_ref[0].astype(jnp.float32)                     # (Tp, D)
-    d = x.shape[-1]
-    tp = x.shape[0]
+    xr = x_ref[...]                                      # (R, Tp, D)
+    r, tp, d = xr.shape
+    x = xr.reshape(r * tp, d).astype(jnp.float32)
 
     # LayerNorm in fp32 (reference model.py:194-200 semantics)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -49,12 +72,12 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
     qkv = jax.lax.dot_general(
         h, w_qkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + \
-        b_qkv_ref[...].astype(jnp.float32)               # (Tp, 3D)
+        b_qkv_ref[...].astype(jnp.float32)               # (R*Tp, 3D)
     if lora_scaling != 0.0:
         z = jax.lax.dot_general(
             h, a_in_ref[...].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (Tp, r)
+            preferred_element_type=jnp.float32)          # (R*Tp, r)
         qkv = qkv + lora_scaling * jax.lax.dot_general(
             z.astype(jnp.bfloat16), b_in_ref[...].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -62,27 +85,28 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
 
     dh = d // n_heads
     scale = dh ** -0.5
-    # padding + user mask (additive, shared across heads)
+    # padding + user mask (additive, shared across rows and heads)
     pad_mask = mask_ref[...]
 
-    qkv16 = qkv.astype(jnp.bfloat16)
+    qkv3 = qkv.astype(jnp.bfloat16).reshape(r, tp, 3 * d)
     heads_out = []
     for head in range(n_heads):
         lo = head * dh
-        q = qkv16[:, lo:lo + dh]
-        k = qkv16[:, d + lo:d + lo + dh]
-        v = qkv16[:, 2 * d + lo:2 * d + lo + dh]
+        q = qkv3[:, :, lo:lo + dh]
+        k = qkv3[:, :, d + lo:d + lo + dh]
+        v = qkv3[:, :, 2 * d + lo:2 * d + lo + dh]
         s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + pad_mask
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale \
+            + pad_mask[None]                             # (R, Tp, Tp)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         heads_out.append(jax.lax.dot_general(
             p.astype(jnp.bfloat16), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(heads_out, axis=-1)
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))         # (R, Tp, dh)
+    ctx = jnp.concatenate(heads_out, axis=-1).reshape(r * tp, d)
 
     ctx16 = ctx.astype(jnp.bfloat16)
     out = jax.lax.dot_general(
@@ -100,7 +124,7 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref, b_qkv_ref,
             b_out_lora_ref[...].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-    o_ref[0] = (x + out).astype(o_ref.dtype)             # residual add
+    o_ref[...] = (x + out).reshape(r, tp, d).astype(o_ref.dtype)
 
 
 def _run_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
@@ -133,12 +157,15 @@ def _run_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
+    rows = _pick_rows(b, _ROWS_FWD)
     out = pl.pallas_call(
         functools.partial(_kernel, n_heads=n_heads, t=t,
                           lora_scaling=scaling),
-        grid=(b,),
+        grid=(b // rows,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((rows, tp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const(d), const(d),
             const(d, 3 * d), const(3 * d),
@@ -146,7 +173,7 @@ def _run_fused(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
             const(tp, tp),
             const(d, r), const(r, 3 * d), const(d, r), const(r, d),
         ],
-        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((rows, tp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
         cost_estimate=pl.CostEstimate(
@@ -251,9 +278,10 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
         daout_ref[...] = jnp.zeros_like(daout_ref)
         dbout_l_ref[...] = jnp.zeros_like(dbout_l_ref)
 
-    x = x_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)          # d(y); y = x + out
-    d = x.shape[-1]
+    xr = x_ref[...]                                     # (R, Tp, D)
+    rr, tp, d = xr.shape
+    x = xr.reshape(rr * tp, d).astype(jnp.float32)
+    g = g_ref[...].reshape(rr * tp, d).astype(jnp.float32)   # d(y)
     dh_dim = d // n_heads
     scale = dh_dim ** -0.5
 
@@ -284,32 +312,32 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
             preferred_element_type=jnp.float32)
 
     pad_mask = mask_ref[...]
-    qkv16 = qkv.astype(jnp.bfloat16)
+    qkv3 = qkv.astype(jnp.bfloat16).reshape(rr, tp, 3 * d)
 
     def head_probs(head):
         lo = head * dh_dim
-        q = qkv16[:, lo:lo + dh_dim]
-        k = qkv16[:, d + lo:d + lo + dh_dim]
+        q = qkv3[:, :, lo:lo + dh_dim]
+        k = qkv3[:, :, d + lo:d + lo + dh_dim]
         s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + pad_mask
+            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + pad_mask[None]
         m = jnp.max(s, axis=-1, keepdims=True)
         pr = jnp.exp(s - m)
-        return pr / jnp.sum(pr, axis=-1, keepdims=True)
+        return pr / jnp.sum(pr, axis=-1, keepdims=True)   # (R, Tp, Tp)
 
     # probabilities are reused by the attention backward below — compute
     # each head's score/softmax ONCE (they are recomputed from bf16 qkv,
-    # not saved from the forward; ~2 MB VMEM for 12 heads at T=208)
+    # not saved from the forward)
     probs = [head_probs(h) for h in range(n_heads)]
     ctxs = []
     for head in range(n_heads):
         lo = head * dh_dim
-        v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
+        v = qkv3[:, :, 2 * d + lo:2 * d + lo + dh_dim]
         ctxs.append(jax.lax.dot_general(
             probs[head].astype(jnp.bfloat16), v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(ctxs, axis=-1)
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))          # (R, Tp, dh)
+    ctx = jnp.concatenate(ctxs, axis=-1).reshape(rr * tp, d)
     ctx16 = ctx.astype(jnp.bfloat16)
 
     # ---- backward ----
@@ -346,35 +374,37 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    # attention backward per head -> dqkv
+    # attention backward per head -> dqkv (batched over R)
+    dctx3 = dctx.reshape(rr, tp, d)
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for head in range(n_heads):
         lo = head * dh_dim
-        q = qkv16[:, lo:lo + dh_dim]
-        k = qkv16[:, d + lo:d + lo + dh_dim]
-        v = qkv16[:, 2 * d + lo:2 * d + lo + dh_dim]
+        q = qkv3[:, :, lo:lo + dh_dim]
+        k = qkv3[:, :, d + lo:d + lo + dh_dim]
+        v = qkv3[:, :, 2 * d + lo:2 * d + lo + dh_dim]
         p = probs[head]
-        dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
+        dctx_h = dctx3[:, :, lo:lo + dh_dim].astype(jnp.bfloat16)
         dv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), dctx_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (R, Tp, dh)
         dp = jax.lax.dot_general(
-            dctx_h, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dctx_h, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # (R, Tp, Tp)
         dscore = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds16 = dscore.astype(jnp.bfloat16)
         dq = jax.lax.dot_general(
-            ds16, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            ds16, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds16, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            ds16, q, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         dqkv_parts_q.append(dq)
         dqkv_parts_k.append(dk)
         dqkv_parts_v.append(dv)
     dqkv = jnp.concatenate(
-        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1)  # (Tp, 3D)
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v,
+        axis=-1).reshape(rr * tp, 3 * d)
 
     dqkv16 = dqkv.astype(jnp.bfloat16)
     if weight_grads:
@@ -410,7 +440,7 @@ def _bwd_kernel(x_ref, g_ref, ln_scale_ref, ln_bias_ref, w_qkv_ref,
     mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
-    dx_ref[0] = (g + dx_ln).astype(dx_ref.dtype)
+    dx_ref[...] = (g + dx_ln).reshape(rr, tp, d).astype(dx_ref.dtype)
 
 
 def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
@@ -441,14 +471,15 @@ def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+    rows = _pick_rows(b, _ROWS_BWD)
+    row = pl.BlockSpec((rows, tp, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_heads=n_heads,
                           lora_scaling=lora_scaling,
                           weight_grads=weight_grads),
-        grid=(b,),
+        grid=(b // rows,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[row, row, const(d), const(d), const(d, 3 * d),
