@@ -89,6 +89,43 @@ def main():
     step_ms = dt / iters * 1e3
     samples_per_sec = batch_size * iters / dt
 
+    # -- MFU vs the chip's MEASURED matmul rate (VERDICT r2 item 10) ------
+    # Measure the sustained bf16 matmul rate the same way the step is
+    # timed (dependent chain, one fetch), then compare against the step's
+    # analytic matmul FLOPs. Both sides use the 2*M*N*K convention, so the
+    # ratio is convention-free.
+    m4k = jnp.asarray(np.random.default_rng(1).normal(size=(4096, 4096)),
+                      jnp.bfloat16)
+
+    @jax.jit
+    def matmul_chain(a):
+        def body(c, _):
+            c = jnp.dot(c, m4k, preferred_element_type=jnp.float32)
+            return (c / jnp.maximum(jnp.max(jnp.abs(c)), 1e-6)).astype(
+                jnp.bfloat16), None
+        out, _ = jax.lax.scan(body, a, None, length=32)
+        return out
+
+    mm = matmul_chain(m4k)
+    float(jnp.sum(mm.astype(jnp.float32)))  # compile+exec
+    t0 = time.perf_counter()
+    mm = matmul_chain(m4k)
+    float(jnp.sum(mm.astype(jnp.float32)))
+    mm_dt = time.perf_counter() - t0
+    matmul_tflops = 32 * 2 * 4096 ** 3 / mm_dt / 1e12
+
+    # analytic matmul FLOPs of the step (vision tower only; text cached):
+    # fwd per token/layer = qkv+out (8D^2) + scores/ctx (4TD) + MLP (16D^2);
+    # bwd activation-grads replay every matmul once (weight grads for the
+    # frozen base are skipped; LoRA grads are negligible at r=4), and the
+    # fused bwd recomputes the attention half's fwd (8D^2 + 4TD).
+    d_, t_, l_ = cfg.vision_width, (cfg.image_size // cfg.patch_size) ** 2 + 1, \
+        cfg.vision_layers
+    per_tok_layer_fwd = 24 * d_ * d_ + 4 * t_ * d_
+    per_tok_layer = 2 * per_tok_layer_fwd + (8 * d_ * d_ + 4 * t_ * d_)
+    step_flops = batch_size * t_ * l_ * per_tok_layer
+    mfu = (step_flops / (step_ms / 1e3)) / (matmul_tflops * 1e12)
+
     # vs_baseline: the reference publishes no throughput numbers (SURVEY
     # §6) and is CUDA/CPU-only, so the only MEASURED ratio is same-hardware
     # CPU vs CPU — the train-core speedup from tools/bench_reference_cpu.py
@@ -117,6 +154,11 @@ def main():
         "vs_baseline": vs_baseline,
         "vs_baseline_note": note,
         "p50_step_ms": round(step_ms, 2),
+        # fraction of the chip's MEASURED sustained 4096^3 bf16 matmul
+        # rate that the step's analytic matmul FLOPs achieve (not a
+        # peak-spec MFU; see comments above for the FLOP model)
+        "mfu_vs_measured_matmul": round(mfu, 3),
+        "measured_matmul_tflops": round(matmul_tflops, 1),
     }))
 
 
