@@ -94,15 +94,18 @@ def main():
     # timed (dependent chain, one fetch), then compare against the step's
     # analytic matmul FLOPs. Both sides use the 2*M*N*K convention, so the
     # ratio is convention-free.
-    m4k = jnp.asarray(np.random.default_rng(1).normal(size=(4096, 4096)),
-                      jnp.bfloat16)
+    # weights pre-scaled by 1/sqrt(N): the chain's activations stay O(1)
+    # without any per-iteration renormalization (elementwise passes over
+    # the 16M-element carry would depress the measured rate by ~20%)
+    m4k = jnp.asarray(
+        np.random.default_rng(1).normal(size=(4096, 4096)) * 4096 ** -0.5,
+        jnp.bfloat16)
 
     @jax.jit
     def matmul_chain(a):
         def body(c, _):
-            c = jnp.dot(c, m4k, preferred_element_type=jnp.float32)
-            return (c / jnp.maximum(jnp.max(jnp.abs(c)), 1e-6)).astype(
-                jnp.bfloat16), None
+            return jnp.dot(c, m4k,
+                           preferred_element_type=jnp.bfloat16), None
         out, _ = jax.lax.scan(body, a, None, length=32)
         return out
 

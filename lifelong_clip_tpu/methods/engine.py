@@ -70,7 +70,8 @@ def peft_forward_cached_text(frozen, trainable, images, txt_features,
         frozen, images, clip_cfg,
         peft_cfg=peft_cfg if peft_cfg.on_vision() else None,
         peft=trainable.get("vision"), compute_dtype=compute_dtype,
-        attn_impl=attn_impl, base_grads=False, moe_rng=moe_rng)
+        attn_impl=attn_impl, base_grads=False, moe_rng=moe_rng,
+        remat=remat)
     img = clip_fns.normalize(img)
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
@@ -109,7 +110,14 @@ def make_train_step(clip_cfg: CLIPConfig,
                     forward_fn: Optional[Callable] = None,
                     loss_fn: Optional[Callable] = None,
                     cached_text: bool = False,
-                    donate: bool = True):
+                    donate: bool = True,
+                    # checkpoint the depth scan: the backward recomputes
+                    # block intermediates instead of saving them. At
+                    # bs>=128 XLA's saved MLP intermediates spill HBM
+                    # (BASELINE.md scaling table) — remat is the fix; at
+                    # bs=64 it only adds recompute. Callers enable it for
+                    # large-batch steps (see AdapterCLIP.setup_model).
+                    remat: bool = False):
     """Build the jitted online train step.
 
     batch dict:
@@ -127,7 +135,7 @@ def make_train_step(clip_cfg: CLIPConfig,
     fwd = forward_fn or functools.partial(
         peft_forward_cached_text if cached_text else peft_forward,
         clip_cfg=clip_cfg, peft_cfg=peft_cfg,
-        compute_dtype=compute_dtype, attn_impl=attn_impl)
+        compute_dtype=compute_dtype, attn_impl=attn_impl, remat=remat)
 
     def default_loss(logits, labels):
         return optax.softmax_cross_entropy_with_integer_labels(

@@ -39,7 +39,10 @@ def bench(batch_size: int):
                            mean=(0.48145466, 0.4578275, 0.40821073),
                            std=(0.26862954, 0.26130258, 0.27577711),
                            use_autoaug=True, autoaug_policy="cifar10",
-                           cached_text=True, compute_dtype=jnp.bfloat16)
+                           cached_text=True, compute_dtype=jnp.bfloat16,
+                           # large-batch: remat the depth scan so saved
+                           # MLP intermediates don't spill HBM
+                           remat=batch_size >= 128)
     rng = np.random.default_rng(0)
     tokens = np.zeros((n_cls, cfg.context_length), np.int32)
     tokens[:, 0] = 49406
