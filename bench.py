@@ -106,7 +106,9 @@ def main():
         def body(c, _):
             return jnp.dot(c, m4k,
                            preferred_element_type=jnp.bfloat16), None
-        out, _ = jax.lax.scan(body, a, None, length=32)
+        # long chain: the closing host fetch costs ~25 ms on the tunnel;
+        # 256 dots (~290 ms of compute) amortize it below 10%
+        out, _ = jax.lax.scan(body, a, None, length=256)
         return out
 
     mm = matmul_chain(m4k)
@@ -115,7 +117,7 @@ def main():
     mm = matmul_chain(m4k)
     float(jnp.sum(mm.astype(jnp.float32)))
     mm_dt = time.perf_counter() - t0
-    matmul_tflops = 32 * 2 * 4096 ** 3 / mm_dt / 1e12
+    matmul_tflops = 256 * 2 * 4096 ** 3 / mm_dt / 1e12
 
     # analytic matmul FLOPs of the step (vision tower only; text cached):
     # fwd per token/layer = qkv+out (8D^2) + scores/ctx (4TD) + MLP (16D^2);

@@ -39,6 +39,9 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--opt_name", type=str, default="adamw")
     p.add_argument("--sched_name", type=str, default="default")
     p.add_argument("--memory_size", type=int, default=0)
+    # NOTE default drift vs the reference: its configuration/config.py:67
+    # defaults to 100, but every shipped launch script pins 1000 — we
+    # default to the scripts' value (scripts here pin their own too)
     p.add_argument("--eval_period", type=int, default=1000)
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--visible_classes", type=str, default="batch",

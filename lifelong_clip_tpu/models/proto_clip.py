@@ -17,6 +17,8 @@ Parity target: reference ``models/proto_clip.py`` + ``models/clip/zoo.py``:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -360,7 +362,37 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
         return h + m.astype(h.dtype), None
 
     xs = {"blk": t["blocks"], "state": layer_states}
-    h, _ = jax.lax.scan(jax.checkpoint(body), suf, xs)
+    # partial unroll (see clip._resolve_group): G layers per scan
+    # iteration amortizes per-iteration scan overhead; the checkpoint
+    # then spans G layers (recompute granularity = G, memory high-water
+    # unchanged per iteration)
+    from .clip import _resolve_group
+    n_layers = layer_states.shape[0]
+    g = _resolve_group(n_layers, None)
+    if g > 1:
+        xs = jax.tree.map(
+            lambda a: a.reshape((n_layers // g, g) + a.shape[1:]), xs)
+
+        def group_body(h, sl):
+            for j in range(g):
+                h, _ = body(h, jax.tree.map(lambda a: a[j], sl))
+            return h, None
+    else:
+        group_body = body
+    # remat policy for the suffix backward (env-tunable for ablation):
+    #   full (default) — recompute the whole group (min memory, +1x fwd
+    #        FLOPs in bwd); dots — save matmul outputs, recompute only
+    #        elementwise; none — XLA autodiff saves everything
+    policy = os.environ.get("LLC_SUFFIX_REMAT", "full")
+    if policy == "none":
+        wrapped = group_body
+    elif policy == "dots":
+        wrapped = jax.checkpoint(
+            group_body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    else:
+        wrapped = jax.checkpoint(group_body)
+    h, _ = jax.lax.scan(wrapped, suf, xs)
     return h
 
 
