@@ -524,8 +524,9 @@ def _run_fused_bwd(x, g, ln_scale, ln_bias, w_qkv, b_qkv, w_out, mask,
 def _prefix_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
                    w_qkv_ref, b_qkv_ref, w_out_ref, b_out_ref, mask_ref,
                    o_ref, *, n_heads: int, eps: float = 1e-5):
-    x = x_ref[0].astype(jnp.float32)                    # (Tp, D)
-    d = x.shape[-1]
+    xr = x_ref[...]                                     # (R, Tp, D)
+    r, tp, d = xr.shape
+    x = xr.reshape(r * tp, d).astype(jnp.float32)
 
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
@@ -534,27 +535,31 @@ def _prefix_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
         + ln_bias_ref[...].astype(jnp.float32)
     h16 = h.astype(jnp.bfloat16)
 
-    pk = pk_ref[0].astype(jnp.bfloat16)                 # (Pp, D)
-    pv = pv_ref[0].astype(jnp.bfloat16)
-    k_src = jnp.concatenate([pk, h16], axis=0)          # (Sp, D)
-    v_src = jnp.concatenate([pv, h16], axis=0)
+    pk = pk_ref[...].astype(jnp.bfloat16)               # (R, Pp, D)
+    pv = pv_ref[...].astype(jnp.bfloat16)
+    h3 = h16.reshape(r, tp, d)
+    k_src = jnp.concatenate([pk, h3], axis=1)           # (R, Sp, D)
+    v_src = jnp.concatenate([pv, h3], axis=1)
+    sp = k_src.shape[1]
 
     w_qkv = w_qkv_ref[...]
     b_qkv = b_qkv_ref[...].astype(jnp.float32)
+    # projections flattened over rows: M = R*Tp / R*Sp (skinny per-row
+    # matmuls are the per-program grid's loss mode — see _ROWS_FWD)
     q = (jax.lax.dot_general(
         h16, w_qkv[:, :d], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + b_qkv[:d]).astype(jnp.bfloat16)
+        + b_qkv[:d]).astype(jnp.bfloat16).reshape(r, tp, d)
     k = (jax.lax.dot_general(
-        k_src, w_qkv[:, d:2 * d],
+        k_src.reshape(r * sp, d), w_qkv[:, d:2 * d],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + b_qkv[d:2 * d]).astype(jnp.bfloat16)
+        + b_qkv[d:2 * d]).astype(jnp.bfloat16).reshape(r, sp, d)
     v = (jax.lax.dot_general(
-        v_src, w_qkv[:, 2 * d:],
+        v_src.reshape(r * sp, d), w_qkv[:, 2 * d:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-        + b_qkv[2 * d:]).astype(jnp.bfloat16)
+        + b_qkv[2 * d:]).astype(jnp.bfloat16).reshape(r, sp, d)
 
     dh = d // n_heads
     scale = dh ** -0.5
@@ -563,24 +568,24 @@ def _prefix_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     for head in range(n_heads):
         lo = head * dh
         s = jax.lax.dot_general(
-            q[:, lo:lo + dh], k[:, lo:lo + dh],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + pad_mask
+            q[:, :, lo:lo + dh], k[:, :, lo:lo + dh],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + pad_mask[None]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         heads_out.append(jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v[:, lo:lo + dh],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(heads_out, axis=-1)
+            p.astype(jnp.bfloat16), v[:, :, lo:lo + dh],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))        # (R, Tp, dh)
+    ctx = jnp.concatenate(heads_out, axis=-1).reshape(r * tp, d)
 
     out = jax.lax.dot_general(
         ctx.astype(jnp.bfloat16), w_out_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + \
         b_out_ref[...].astype(jnp.float32)
-    o_ref[0] = (x + out).astype(o_ref.dtype)
+    o_ref[...] = (x + out).reshape(r, tp, d).astype(o_ref.dtype)
 
 
 def _prefix_reference_math(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
@@ -620,11 +625,14 @@ def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    row = lambda ln: pl.BlockSpec((1, ln, d), lambda i: (i, 0, 0),
+    rows = _pick_rows(b, _ROWS_FWD)
+    row = lambda ln: pl.BlockSpec((rows, ln, d), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_prefix_kernel, n_heads=n_heads),
-        grid=(b,),
+        grid=(b // rows,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[row(tp), row(pp), row(pp), const(d), const(d),
                   const(d, 3 * d), const(3 * d), const(d, d), const(d),
                   const(tp, sp)],
@@ -698,13 +706,14 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
         dwout_ref[...] = jnp.zeros_like(dwout_ref)
         dbout_ref[...] = jnp.zeros_like(dbout_ref)
 
-    x = x_ref[0].astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)
-    d = x.shape[-1]
+    xr = x_ref[...]                                     # (R, Tp, D)
+    rr, tp, d = xr.shape
+    x = xr.reshape(rr * tp, d).astype(jnp.float32)
+    g = g_ref[...].reshape(rr * tp, d).astype(jnp.float32)
     dh_dim = d // n_heads
     scale = dh_dim ** -0.5
 
-    # ---- forward recompute ----
+    # ---- forward recompute (batched over R rows) ----
     gamma = ln_scale_ref[...].astype(jnp.float32)
     beta = ln_bias_ref[...].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -713,40 +722,44 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     xhat = (x - mean) * rstd
     h16 = (xhat * gamma + beta).astype(jnp.bfloat16)
 
-    pk = pk_ref[0].astype(jnp.bfloat16)
-    pv = pv_ref[0].astype(jnp.bfloat16)
-    k_src = jnp.concatenate([pk, h16], axis=0)
-    v_src = jnp.concatenate([pv, h16], axis=0)
-    pp = pk.shape[0]
+    pk = pk_ref[...].astype(jnp.bfloat16)               # (R, Pp, D)
+    pv = pv_ref[...].astype(jnp.bfloat16)
+    h3 = h16.reshape(rr, tp, d)
+    k_src = jnp.concatenate([pk, h3], axis=1)           # (R, Sp, D)
+    v_src = jnp.concatenate([pv, h3], axis=1)
+    pp = pk.shape[1]
+    sp = k_src.shape[1]
+    k_flat = k_src.reshape(rr * sp, d)
+    v_flat = v_src.reshape(rr * sp, d)
 
     w_qkv = w_qkv_ref[...]
     b_qkv = b_qkv_ref[...].astype(jnp.float32)
     q16 = (jax.lax.dot_general(
         h16, w_qkv[:, :d], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_qkv[:d]).astype(
-            jnp.bfloat16)
+            jnp.bfloat16).reshape(rr, tp, d)
     k16 = (jax.lax.dot_general(
-        k_src, w_qkv[:, d:2 * d],
+        k_flat, w_qkv[:, d:2 * d],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_qkv[d:2 * d]).astype(
-            jnp.bfloat16)
+            jnp.bfloat16).reshape(rr, sp, d)
     v16 = (jax.lax.dot_general(
-        v_src, w_qkv[:, 2 * d:],
+        v_flat, w_qkv[:, 2 * d:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b_qkv[2 * d:]).astype(
-            jnp.bfloat16)
+            jnp.bfloat16).reshape(rr, sp, d)
 
     pad_mask = mask_ref[...]
 
     def head_probs(head):
         lo = head * dh_dim
         s = jax.lax.dot_general(
-            q16[:, lo:lo + dh_dim], k16[:, lo:lo + dh_dim],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + pad_mask
+            q16[:, :, lo:lo + dh_dim], k16[:, :, lo:lo + dh_dim],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale + pad_mask[None]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        return p / jnp.sum(p, axis=-1, keepdims=True)
+        return p / jnp.sum(p, axis=-1, keepdims=True)   # (R, Tp, Sp)
 
     # probabilities are reused by the attention backward — one score/
     # softmax per head
@@ -755,10 +768,11 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     for head in range(n_heads):
         lo = head * dh_dim
         ctxs.append(jax.lax.dot_general(
-            probs[head].astype(jnp.bfloat16), v16[:, lo:lo + dh_dim],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))
-    ctx16 = jnp.concatenate(ctxs, axis=-1).astype(jnp.bfloat16)
+            probs[head].astype(jnp.bfloat16), v16[:, :, lo:lo + dh_dim],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32))        # (R, Tp, dh)
+    ctx16 = jnp.concatenate(ctxs, axis=-1).reshape(
+        rr * tp, d).astype(jnp.bfloat16)
 
     # ---- backward ----
     g16 = g.astype(jnp.bfloat16)
@@ -770,35 +784,35 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
         dbout_ref[...] += jnp.sum(g, axis=0, keepdims=True)
     dctx = jax.lax.dot_general(
         g16, w_out, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(rr, tp, d)
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for head in range(n_heads):
         lo = head * dh_dim
         p = probs[head]
-        dctx_h = dctx[:, lo:lo + dh_dim].astype(jnp.bfloat16)
+        dctx_h = dctx[:, :, lo:lo + dh_dim].astype(jnp.bfloat16)
         dv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), dctx_h,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (R, Sp, dh)
         dp = jax.lax.dot_general(
-            dctx_h, v16[:, lo:lo + dh_dim],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            dctx_h, v16[:, :, lo:lo + dh_dim],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)         # (R, Tp, Sp)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         ds16 = ds.astype(jnp.bfloat16)
         dq_parts.append(jax.lax.dot_general(
-            ds16, k16[:, lo:lo + dh_dim],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale)
+            ds16, k16[:, :, lo:lo + dh_dim],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)  # (R, Tp, dh)
         dk_parts.append(jax.lax.dot_general(
-            ds16, q16[:, lo:lo + dh_dim],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale)
+            ds16, q16[:, :, lo:lo + dh_dim],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale)  # (R, Sp, dh)
         dv_parts.append(dv)
-    dq = jnp.concatenate(dq_parts, axis=-1)     # (Tp, D)
-    dk = jnp.concatenate(dk_parts, axis=-1)     # (Sp, D)
-    dv = jnp.concatenate(dv_parts, axis=-1)     # (Sp, D)
+    dq = jnp.concatenate(dq_parts, axis=-1).reshape(rr * tp, d)
+    dk = jnp.concatenate(dk_parts, axis=-1).reshape(rr * sp, d)
+    dv = jnp.concatenate(dv_parts, axis=-1).reshape(rr * sp, d)
 
     dq16 = dq.astype(jnp.bfloat16)
     dk16 = dk.astype(jnp.bfloat16)
@@ -808,10 +822,10 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
             h16, dq16, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dwk = jax.lax.dot_general(
-            k_src, dk16, dimension_numbers=(((0,), (0,)), ((), ())),
+            k_flat, dk16, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dwv = jax.lax.dot_general(
-            v_src, dv16, dimension_numbers=(((0,), (0,)), ((), ())),
+            v_flat, dv16, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dwqkv_ref[...] += jnp.concatenate([dwq, dwk, dwv], axis=-1)
         dbqkv_ref[...] += jnp.concatenate(
@@ -822,18 +836,18 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     dk_src = jax.lax.dot_general(
         dk16, w_qkv[:, d:2 * d],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32).reshape(rr, sp, d)
     dv_src = jax.lax.dot_general(
         dv16, w_qkv[:, 2 * d:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dpk_ref[0] = dk_src[:pp].astype(dpk_ref.dtype)
-    dpv_ref[0] = dv_src[:pp].astype(dpv_ref.dtype)
+        preferred_element_type=jnp.float32).reshape(rr, sp, d)
+    dpk_ref[...] = dk_src[:, :pp].astype(dpk_ref.dtype)
+    dpv_ref[...] = dv_src[:, :pp].astype(dpv_ref.dtype)
 
     dh = jax.lax.dot_general(
         dq16, w_qkv[:, :d], dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dh = dh + dk_src[pp:] + dv_src[pp:]
+    dh = dh + (dk_src[:, pp:] + dv_src[:, pp:]).reshape(rr * tp, d)
 
     if weight_grads:
         dls_ref[...] += jnp.sum(dh * xhat, axis=0, keepdims=True)
@@ -842,7 +856,7 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
     mean_dxhat = jnp.mean(dxhat, axis=-1, keepdims=True)
     mean_dxhat_xhat = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - mean_dxhat - xhat * mean_dxhat_xhat)
-    dx_ref[0] = (g + dx_ln).astype(dx_ref.dtype)
+    dx_ref[...] = (g + dx_ln).reshape(rr, tp, d).astype(dx_ref.dtype)
 
 
 def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
@@ -869,13 +883,14 @@ def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    row = lambda ln: pl.BlockSpec((1, ln, d), lambda i: (i, 0, 0),
+    rows = _pick_rows(b, _ROWS_BWD)
+    row = lambda ln: pl.BlockSpec((rows, ln, d), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     f32 = jnp.float32
     outs = pl.pallas_call(
         functools.partial(_prefix_bwd_kernel, n_heads=n_heads,
                           weight_grads=weight_grads),
-        grid=(b,),
+        grid=(b // rows,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[row(tp), row(pp), row(pp), const(d), const(d),
