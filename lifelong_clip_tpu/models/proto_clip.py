@@ -303,11 +303,55 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
     the full 77-token pass).
     """
     from .clip import _ACTS, layer_norm
+    from ..ops.attention import default_impl
 
     b, c, s, d = suf.shape
     dh = d // n_heads
     scale = dh ** -0.5
     causal = causal_mask(s)                                    # (s, s)
+    lp0 = layer_states.shape[2]
+    # prefix fully visible, causal among own suffix tokens
+    fused_mask = jnp.concatenate(
+        [jnp.zeros((s, lp0), jnp.float32), causal], axis=1)    # (s, lp+s)
+    # rows per Pallas program: the pair batch has B*C short rows —
+    # amortize per-program overhead far beyond the vision default
+    fused_rows = int(os.environ.get("LLC_FUSED_ROWS_SUFFIX", "64"))
+
+    def fused_body(h, xs):
+        """TPU path: the attention half runs in the row-batched fused
+        prefix kernel over the flattened (B*C) pair batch. pk=pv=
+        ln_1(state) per sample, broadcast across classes — the kernel
+        projects K/V from them exactly like the einsum path below
+        (concat([pk, ln_1(h)]) @ w_kv + b_kv); dprefix flows back
+        through the broadcast-sum into the prefix pass."""
+        from ..ops.fused_block_attn import fused_prefix_attention_block
+        blk, state = xs["blk"], xs["state"]
+        pre = layer_norm(state, blk["ln_1"])                   # (B, lp, D)
+        lp_ = pre.shape[1]
+        pre_bc = jnp.broadcast_to(
+            pre[:, None], (b, c, lp_, d)).reshape(b * c, lp_, d)
+        pre_bc = pre_bc.astype(h.dtype)
+        h2d = h.reshape(b * c, s, d)
+        y = fused_prefix_attention_block(
+            h2d, pre_bc, pre_bc, blk["ln_1"]["scale"],
+            blk["ln_1"]["bias"], blk["attn"]["w_qkv"],
+            blk["attn"]["b_qkv"], blk["attn"]["w_out"],
+            blk["attn"]["b_out"], n_heads, fused_mask, False,
+            fused_rows, fused_rows)
+        hn2 = layer_norm(y, blk["ln_2"])
+        m = jax.lax.dot_general(
+            hn2.reshape(b * c * s, d), blk["mlp"]["w_fc"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_P) + blk["mlp"]["b_fc"]
+        m = _ACTS[act](m.astype(h.dtype))
+        m = jax.lax.dot_general(
+            m, blk["mlp"]["w_proj"],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_P) + blk["mlp"]["b_proj"]
+        out = y + m.astype(h.dtype).reshape(b * c, s, d)
+        return out.reshape(b, c, s, d), None
 
     def body(h, xs):
         blk, state = xs["blk"], xs["state"]
@@ -361,6 +405,8 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
                        precision=_P) + blk["mlp"]["b_proj"]
         return h + m.astype(h.dtype), None
 
+    layer_body = fused_body if default_impl() == "pallas" else body
+
     xs = {"blk": t["blocks"], "state": layer_states}
     # partial unroll (see clip._resolve_group): G layers per scan
     # iteration amortizes per-iteration scan overhead; the checkpoint
@@ -375,10 +421,10 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
 
         def group_body(h, sl):
             for j in range(g):
-                h, _ = body(h, jax.tree.map(lambda a: a[j], sl))
+                h, _ = layer_body(h, jax.tree.map(lambda a: a[j], sl))
             return h, None
     else:
-        group_body = body
+        group_body = layer_body
     # remat policy for the suffix backward (env-tunable for ablation):
     #   full (default) — recompute the whole group (min memory, +1x fwd
     #        FLOPs in bwd); dots — save matmul outputs, recompute only

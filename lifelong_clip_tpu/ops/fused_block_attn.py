@@ -602,7 +602,7 @@ def _prefix_reference_math(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
 
 
 def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
-                      b_out, n_heads: int, mask):
+                      b_out, n_heads: int, mask, rows_pref=None):
     b, t, d = x.shape
     p_len = pk.shape[1]
     sub = 16 if x.dtype == jnp.bfloat16 else 8
@@ -625,7 +625,7 @@ def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    rows = _pick_rows(b, _ROWS_FWD)
+    rows = _pick_rows(b, rows_pref or _ROWS_FWD)
     row = lambda ln: pl.BlockSpec((rows, ln, d), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -649,33 +649,40 @@ def _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     return out[:, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11, 12, 13))
 def fused_prefix_attention_block(x, pk, pv, ln_scale, ln_bias, w_qkv,
                                  b_qkv, w_out, b_out, n_heads: int,
-                                 mask=None, weight_grads: bool = True):
+                                 mask=None, weight_grads: bool = True,
+                                 rows_fwd=None, rows_bwd=None):
     """Prompted block half: x + out_proj(MHA(LN(x); KV prefixed by
     pk/pv)). pk/pv (B, P, D) are trainable prompt tokens (CoPL Ek/Ev or a
     shared prefix). Backward is a hand-written recompute kernel; dpk/dpv
     always flow. ``weight_grads=False`` asserts the block weights are
     frozen (the usual case — prompted towers train only the prompts): the
-    backward skips the dW matmuls and returns zeros for them."""
+    backward skips the dW matmuls and returns zeros for them.
+    ``rows_fwd/rows_bwd`` override the rows-per-program defaults — callers
+    with many short rows (e.g. ProtoCLIP's B*C pair batch) want far more
+    rows per program than the 208-token vision tower."""
     return _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
-                             w_out, b_out, n_heads, mask)
+                             w_out, b_out, n_heads, mask,
+                             rows_pref=rows_fwd)
 
 
 def _prefix_fwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-                n_heads, mask, weight_grads):
+                n_heads, mask, weight_grads, rows_fwd, rows_bwd):
     out = _run_prefix_fused(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
-                            w_out, b_out, n_heads, mask)
+                            w_out, b_out, n_heads, mask,
+                            rows_pref=rows_fwd)
     return out, (x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
                  mask)
 
 
-def _prefix_bwd(n_heads, weight_grads, res, g):
+def _prefix_bwd(n_heads, weight_grads, rows_fwd, rows_bwd, res, g):
     x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, mask = res
     (dx, dpk, dpv, dls, dlb, dwqkv, dbqkv, dwout, dbout) = \
         _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
-                              w_out, mask, g, n_heads, weight_grads)
+                              w_out, mask, g, n_heads, weight_grads,
+                              rows_pref=rows_bwd)
 
     def like(grad, primal):
         return grad.astype(primal.dtype)
@@ -861,7 +868,7 @@ def _prefix_bwd_kernel(x_ref, pk_ref, pv_ref, ln_scale_ref, ln_bias_ref,
 
 def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
                           w_out, mask, g, n_heads: int,
-                          weight_grads: bool = True):
+                          weight_grads: bool = True, rows_pref=None):
     b, t, d = x.shape
     p_len = pk.shape[1]
     sub = 16 if x.dtype == jnp.bfloat16 else 8
@@ -883,7 +890,7 @@ def _run_prefix_fused_bwd(x, pk, pv, ln_scale, ln_bias, w_qkv, b_qkv,
 
     const = lambda *shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                         memory_space=pltpu.VMEM)
-    rows = _pick_rows(b, _ROWS_BWD)
+    rows = _pick_rows(b, rows_pref or _ROWS_BWD)
     row = lambda ln: pl.BlockSpec((rows, ln, d), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
     f32 = jnp.float32

@@ -327,3 +327,50 @@ def test_copl_prefixes_vectorized_matches_per_layer_loop():
     pt = copl["k"].shape[1] // 2
     assert float(jnp.abs(g_new["p"][:, :pt]).max()) > 0
     assert float(jnp.abs(g_new["p"][:, pt:]).max()) == 0.0
+
+
+def test_suffix_pass_fused_matches_einsum_body(frozen, proto, monkeypatch):
+    """The TPU fused-kernel suffix body (row-batched prefix kernel over
+    the flattened B*C pair batch) must match the einsum body — values and
+    prompt grads. Runs the Pallas kernel in interpret mode on CPU; bf16
+    weight quantization inside the kernel bounds the tolerance."""
+    from lifelong_clip_tpu.ops import attention as attn_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(11)
+    b, c, top_k, n_ctx = 2, 3, 2, 3
+    img = jnp.asarray(rng.normal(size=(b, TINY.embed_dim)), jnp.float32)
+    tokens = np.zeros((c, TINY.context_length), np.int32)
+    for i, e in enumerate([9, 12, 10]):
+        tokens[i, 0] = 49406
+        tokens[i, 1:e] = rng.integers(1, 40000, e - 1)
+        tokens[i, e] = 49407
+    tokens = jnp.asarray(tokens)
+    s = 12 - (1 + top_k * n_ctx) + 1
+
+    kw = dict(top_k=top_k, n_ctx=n_ctx, compute_dtype=jnp.float32,
+              suffix_len=s)
+    w = jnp.asarray(rng.normal(size=(b, c, TINY.embed_dim)), jnp.float32)
+
+    def loss(p):
+        txt, _ = pc.proto_text_features(frozen, p, img, tokens, TINY, **kw)
+        return jnp.sum(txt * w)
+
+    ref_val, ref_grad = jax.value_and_grad(loss)(proto)
+
+    monkeypatch.setattr(attn_mod, "default_impl", lambda: "pallas")
+    # interpret-mode pallas carries an IO effect jax.checkpoint can't
+    # partial-eval (real TPU lowering has no such effect) — skip remat
+    monkeypatch.setenv("LLC_SUFFIX_REMAT", "none")
+    with pltpu.force_tpu_interpret_mode():
+        fused_val, fused_grad = jax.value_and_grad(loss)(proto)
+
+    np.testing.assert_allclose(float(fused_val), float(ref_val),
+                               atol=6e-3, rtol=6e-3)
+    # absolute tolerance scaled to the grad magnitude (the kernel runs
+    # bf16 internally vs the einsum body's f32; per-element relative
+    # error blows up on near-zero entries — same policy as
+    # test_fused_block.py's grad checks)
+    gr = np.asarray(ref_grad["text_prompt"])
+    gf = np.asarray(fused_grad["text_prompt"])
+    np.testing.assert_allclose(gf, gr, atol=0.02 * np.abs(gr).max())

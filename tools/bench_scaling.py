@@ -40,9 +40,9 @@ def bench(batch_size: int):
                            std=(0.26862954, 0.26130258, 0.27577711),
                            use_autoaug=True, autoaug_policy="cifar10",
                            cached_text=True, compute_dtype=jnp.bfloat16,
-                           # large-batch: remat the depth scan so saved
-                           # MLP intermediates don't spill HBM
-                           remat=batch_size >= 128)
+                           # bs=256 cannot compile without remat; bs=128
+                           # measured faster spilling than rematting
+                           remat=batch_size >= 256)
     rng = np.random.default_rng(0)
     tokens = np.zeros((n_cls, cfg.context_length), np.int32)
     tokens[:, 0] = 49406
