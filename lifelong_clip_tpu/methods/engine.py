@@ -173,7 +173,13 @@ def make_train_step(clip_cfg: CLIPConfig,
                                        batch["tokens"], **kw)
             logits = logits + batch["mask"][None, :]
             if use_cutmix:
-                loss = jnp.mean(optax.softmax_cross_entropy(logits, y_soft))
+                # soft-label CE by hand: masked class slots carry
+                # log_softmax = -inf, and optax's y·log_softmax would turn
+                # the 0·(-inf) padding terms into NaN
+                ls = jax.nn.log_softmax(logits, axis=-1)
+                per = -jnp.sum(jnp.where(y_soft > 0, y_soft * ls, 0.0),
+                               axis=-1)
+                loss = jnp.mean(per)
             else:
                 loss = compute_loss(logits, batch["labels"])
             acc = jnp.mean(

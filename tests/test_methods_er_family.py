@@ -148,3 +148,27 @@ def test_rm_run(synth):  # noqa: F811
     counts = np.bincount(labels)
     assert counts[counts > 0].max() - counts[counts > 0].min() <= \
         max(2, 24 // 8)
+
+
+def test_er_cutmix_loss_finite(synth):  # noqa: F811
+    """CutMix trains through the soft-label CE: padded class slots carry
+    -inf masked logits, and the naive y·log_softmax turns the 0·(-inf)
+    padding terms into NaN (regression: every ER-family cutmix step
+    returned NaN loss/grads). Reference cutmix loss:
+    methods/er_baseline.py:132-147."""
+    from lifelong_clip_tpu.methods.er_baseline import ER
+
+    class TinyER(_TinyMixin, ER):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="er", memory_size=32, temp_batchsize=4,
+                   transforms=("cutmix",))
+    tr = TinyER(cfg, train_dataset=train, test_dataset=test)
+    tr.online_before_task(0)
+    idx = np.asarray(tr.stream.task_indices[0][:8])
+    images, labels = tr.train_dataset.gather(idx)
+    tr.vocab.expose(labels)
+    for _ in range(4):
+        stats = tr.online_step(images, labels, idx)
+        assert np.isfinite(float(np.asarray(stats["loss"])))
