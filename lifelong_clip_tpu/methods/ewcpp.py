@@ -55,8 +55,12 @@ class EWCpp(ER):
         reg_coef = self.reg_coef
         alpha, eps = self.alpha, self.eps
 
-        def ce_loss(trainable, images, batch):
-            logits, _, _ = fwd(self.params, trainable, images, None)
+        def ce_loss(trainable, frozen, images, batch):
+            # frozen must arrive as a traced ARGUMENT: closing over
+            # self.params would bake the full tower into the program as a
+            # constant (a ~600 MB serialized HLO that the remote-compile
+            # tunnel rejects with HTTP 413)
+            logits, _, _ = fwd(frozen, trainable, images, None)
             logits = logits + batch["mask"][None, :]
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["labels"]).mean()
@@ -70,14 +74,15 @@ class EWCpp(ER):
 
             # pass 1: plain CE update
             (loss1, _), grads1 = jax.value_and_grad(
-                ce_loss, has_aux=True)(state.trainable, images, batch)
+                ce_loss, has_aux=True)(state.trainable, state.frozen,
+                                       images, batch)
             up1, opt1 = self.tx.update(grads1, state.opt_state,
                                        state.trainable)
             params_mid = optax.apply_updates(state.trainable, up1)
 
             # pass 2: CE + EWC penalty at the updated point
             def reg_objective(trainable):
-                loss, acc = ce_loss(trainable, images, batch)
+                loss, acc = ce_loss(trainable, state.frozen, images, batch)
                 penalty = jax.tree.map(
                     lambda imp, p, p0: jnp.sum(imp * (p - p0) ** 2),
                     ewc["importance"], trainable, ewc["task_param"])
