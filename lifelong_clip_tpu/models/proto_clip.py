@@ -310,33 +310,40 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
     scale = dh ** -0.5
     causal = causal_mask(s)                                    # (s, s)
     lp0 = layer_states.shape[2]
-    # prefix fully visible, causal among own suffix tokens
-    fused_mask = jnp.concatenate(
-        [jnp.zeros((s, lp0), jnp.float32), causal], axis=1)    # (s, lp+s)
-    # rows per Pallas program: the pair batch has B*C short rows —
-    # amortize per-program overhead far beyond the vision default
-    fused_rows = int(os.environ.get("LLC_FUSED_ROWS_SUFFIX", "64"))
+    # TPU path mask: all C suffixes of a sample run as ONE flat C·S-token
+    # row. Class isolation is a block-diagonal causal mask — token (c, j)
+    # sees the full prefix plus positions (c, ≤j) only.
+    row_c = jnp.repeat(jnp.arange(c), s)
+    row_j = jnp.tile(jnp.arange(s), c)
+    suffix_cols = jnp.where(
+        (row_c[:, None] == row_c[None, :]) &
+        (row_j[None, :] <= row_j[:, None]), 0.0, -jnp.inf)     # (c·s, c·s)
+    flat_mask = jnp.concatenate(
+        [jnp.zeros((c * s, lp0), jnp.float32), suffix_cols], axis=1)
+    # rows (= samples) per Pallas program: each row is a fat C·S-token
+    # sequence, so few rows per program suffice (vs 64 when the pair
+    # batch ran as B·C skinny S-token rows)
+    fused_rows = int(os.environ.get("LLC_FUSED_ROWS_SUFFIX", "2"))
 
     def fused_body(h, xs):
-        """TPU path: the attention half runs in the row-batched fused
-        prefix kernel over the flattened (B*C) pair batch. pk=pv=
-        ln_1(state) per sample, broadcast across classes — the kernel
-        projects K/V from them exactly like the einsum path below
-        (concat([pk, ln_1(h)]) @ w_kv + b_kv); dprefix flows back
-        through the broadcast-sum into the prefix pass."""
+        """TPU path: one flat (C·S)-token row PER SAMPLE through the
+        row-batched fused prefix kernel. The per-sample prefix enters
+        un-broadcast as pk=pv=ln_1(state) (B, lp, D): the kernel projects
+        its K/V once per sample — the previous per-(sample, class) pair
+        layout re-projected it C times (~half the pass FLOPs) and
+        materialized a (B·C, lp, D) HBM broadcast (~200 MB/layer at the
+        bench shapes, plus s→16 sublane padding on every matmul). The
+        block-diagonal mask keeps the math identical to the einsum path
+        below; dprefix flows straight back per sample, no broadcast-sum."""
         from ..ops.fused_block_attn import fused_prefix_attention_block
         blk, state = xs["blk"], xs["state"]
-        pre = layer_norm(state, blk["ln_1"])                   # (B, lp, D)
-        lp_ = pre.shape[1]
-        pre_bc = jnp.broadcast_to(
-            pre[:, None], (b, c, lp_, d)).reshape(b * c, lp_, d)
-        pre_bc = pre_bc.astype(h.dtype)
-        h2d = h.reshape(b * c, s, d)
+        pre = layer_norm(state, blk["ln_1"]).astype(h.dtype)   # (B, lp, D)
+        hf = h.reshape(b, c * s, d)
         y = fused_prefix_attention_block(
-            h2d, pre_bc, pre_bc, blk["ln_1"]["scale"],
+            hf, pre, pre, blk["ln_1"]["scale"],
             blk["ln_1"]["bias"], blk["attn"]["w_qkv"],
             blk["attn"]["b_qkv"], blk["attn"]["w_out"],
-            blk["attn"]["b_out"], n_heads, fused_mask, False,
+            blk["attn"]["b_out"], n_heads, flat_mask, False,
             fused_rows, fused_rows)
         hn2 = layer_norm(y, blk["ln_2"])
         m = jax.lax.dot_general(
@@ -350,7 +357,7 @@ def _suffix_pass_grouped(t, suf, layer_states, n_heads: int,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_P) + blk["mlp"]["b_proj"]
-        out = y + m.astype(h.dtype).reshape(b * c, s, d)
+        out = y + m.astype(h.dtype).reshape(b, c * s, d)
         return out.reshape(b, c, s, d), None
 
     def body(h, xs):
