@@ -102,10 +102,17 @@ def bench_eval(tr, method: str, model: str):
     n = min(EVAL_BATCHES * BATCH, len(idx) - len(idx) % BATCH)
     t0 = time.perf_counter()
     done = 0
+    pending = None
+    # mirrors OnlineTrainer.evaluate(): one-batch lookahead, the host
+    # fetch of batch i overlaps batch i+1's gather + device execution
     for lo in range(0, n, BATCH):
         images, _ = tr.test_dataset.gather(idx[lo:lo + BATCH])
-        np.asarray(tr.predict(images))                 # honest host fetch
+        preds = tr.predict(images)
+        if pending is not None:
+            np.asarray(pending)                        # honest host fetch
+        pending = preds
         done += BATCH
+    np.asarray(pending)
     dt = time.perf_counter() - t0
     _row(f"{method}_eval", model, dt / (done // BATCH) * 1e3,
          f"ms/eval-batch (bs={BATCH}, {model}, real predict loop incl. "

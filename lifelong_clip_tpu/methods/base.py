@@ -180,6 +180,22 @@ class OnlineTrainer:
         bs = self.cfg.test_batchsize
         self.prepare_eval()
         all_labels, all_preds = [], []
+        exposed = np.asarray(self.vocab.exposed)
+
+        def consume(preds_dev, labels, n):
+            preds_slot = np.asarray(preds_dev)[:n]     # host fetch
+            # slot ids -> global class ids
+            preds = exposed[np.clip(preds_slot, 0, len(exposed) - 1)]
+            c, t = per_class_counts(preds, labels, self.n_classes)
+            correct[:] += c
+            total[:] += t
+            all_labels.append(labels)
+            all_preds.append(preds)
+
+        # one-batch lookahead: predict() returns an un-fetched device
+        # array, so batch i+1's gather + dispatch overlap batch i's
+        # in-flight execution and ~25 ms tunnel fetch
+        pending = None
         for lo in range(0, len(idx), bs):
             chunk = idx[lo:lo + bs]
             images, labels = self.test_dataset.gather(chunk)
@@ -187,15 +203,11 @@ class OnlineTrainer:
             if n < bs:  # pad to static shape
                 pad = bs - n
                 images = np.concatenate([images, images[:pad]], axis=0)
-            preds_slot = np.asarray(self.predict(images))[:n]
-            # slot ids -> global class ids
-            exposed = np.asarray(self.vocab.exposed)
-            preds = exposed[np.clip(preds_slot, 0, len(exposed) - 1)]
-            c, t = per_class_counts(preds, labels, self.n_classes)
-            correct += c
-            total += t
-            all_labels.append(labels)
-            all_preds.append(preds)
+            preds_dev = self.predict(images)
+            if pending is not None:
+                consume(*pending)
+            pending = (preds_dev, labels, n)
+        consume(*pending)
         # kept for the seed_k_confusion_matrix.npy artifact (the reference
         # saves the LAST eval's matrix, _trainer.py:363-365)
         from ..utils.metrics import confusion_matrix

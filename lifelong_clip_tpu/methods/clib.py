@@ -150,16 +150,24 @@ class CLIB(ER):
         labels = np.asarray(self.memory.labels)
         mask = jnp.asarray(self.vocab.logit_mask())
         all_losses = np.zeros((n,), np.float64)
-        bs = min(batch_cap, max(self.cfg.batchsize, 1))
+        # sweep at the cap, not the step batch size (bs=64 chunks meant 8
+        # serialized dispatch+fetch rounds over a 500-sample memory —
+        # ~360 ms of the CLIB step), and dispatch every chunk before
+        # fetching any so the ~25 ms/host-fetch tunnel latency overlaps
+        # device execution
+        bs = batch_cap
+        in_flight = []
         for lo in range(0, n, bs):
             chunk = idx[lo:lo + bs]
             imgs, _ = self.train_dataset.gather(chunk)
             labs = labels[lo:lo + bs]
             imgs, labs, valid = pad_batch(imgs, labs, bs)
-            losses = np.asarray(self._sample_losses(
+            dev = self._sample_losses(
                 self.state.frozen, self.state.trainable, jnp.asarray(imgs),
-                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask))
-            all_losses[lo:lo + valid] = losses[:valid]
+                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask)
+            in_flight.append((lo, valid, dev))
+        for lo, valid, dev in in_flight:
+            all_losses[lo:lo + valid] = np.asarray(dev)[:valid]
         self.memory.update_loss_history(np.arange(n), all_losses,
                                         ema=1 - self.ema_ratio)
         self._last_mem_losses = all_losses
