@@ -129,6 +129,40 @@ def cutmix(rng, x, y_onehot, alpha: float = 1.0):
     return mixed, y_mixed, lam_adj
 
 
+def resize_pad_random_crop(rng, x, size: int, pad: int = 4):
+    """Fused resize_bilinear(size) + zero-pad(pad) + per-sample random
+    crop back to (size, size), with no gathers on image data.
+
+    Equivalent to ``pad_random_crop(rng, resize_bilinear(x, size), pad)``
+    (torchvision ``RandomCrop(size, padding=4)`` semantics after the
+    resize) but expressed as per-sample matrix contractions: output row o
+    of sample b is padded-resized row (o + oy_b), so the per-sample
+    resize matrix is just the shared bilinear matrix zero-padded by
+    ``pad`` rows and shifted by the crop offset. The shift is a
+    dynamic_slice over the tiny (size+2·pad, H) COEFFICIENT matrix —
+    the image tensors only ever see einsums. The previous form's vmap'd
+    dynamic_slice over the padded (B, 232, 232, C) batch lowered to a
+    serialized TPU gather that went superlinear with batch
+    (6 -> 60 ms for the bs 64 -> 128 pipeline).
+    """
+    b, h, w, c = x.shape
+    k1, k2 = jax.random.split(rng)
+    oy = jax.random.randint(k1, (b,), 0, 2 * pad + 1)
+    ox = jax.random.randint(k2, (b,), 0, 2 * pad + 1)
+    rh = jnp.asarray(_np.pad(_resize_matrix(h, size),
+                             ((pad, pad), (0, 0))))     # (size+2p, H)
+    rw = jnp.asarray(_np.pad(_resize_matrix(w, size),
+                             ((pad, pad), (0, 0))))
+
+    def shift(m, o):
+        return jax.lax.dynamic_slice(m, (o, 0), (size, m.shape[1]))
+
+    mh = jax.vmap(shift, in_axes=(None, 0))(rh, oy)     # (B, size, H)
+    mw = jax.vmap(shift, in_axes=(None, 0))(rw, ox)
+    x = jnp.einsum("boi,bihc->bohc", mh, x.astype(jnp.float32))
+    return jnp.einsum("boj,bhjc->bhoc", mw, x)
+
+
 def make_train_pipeline(img_size: int,
                         mean: Tuple[float, ...],
                         std: Tuple[float, ...],
@@ -151,8 +185,7 @@ def make_train_pipeline(img_size: int,
         if use_randaug:
             from .autoaugment import rand_augment_batch
             x = rand_augment_batch(jax.random.fold_in(rng, 19), x)
-        x = resize_bilinear(x, img_size)
-        x = pad_random_crop(ks[0], x, pad=4)
+        x = resize_pad_random_crop(ks[0], x, img_size, pad=4)
         x = random_hflip(ks[1], x)
         x = normalize(x, mean, std)
         return x.astype(out_dtype)

@@ -189,3 +189,28 @@ def test_choose_suffix_len_boundaries():
     assert choose_suffix_len(75, 25, 77) == 51
     # need exceeds capacity (EOT at the window edge): fall back entirely
     assert choose_suffix_len(76, 25, 77) is None
+
+
+def test_resize_pad_random_crop_matches_unfused():
+    """The gather-free fused resize+pad+crop must equal resize_bilinear
+    followed by pad_random_crop for the SAME key (both draw the per-sample
+    offsets with the identical split/randint sequence)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lifelong_clip_tpu.ops import preprocess
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((5, 32, 32, 3)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    ref = preprocess.pad_random_crop(
+        key, preprocess.resize_bilinear(x, 48), pad=4)
+    fused = preprocess.resize_pad_random_crop(key, x, 48, pad=4)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # no-resize case (input already at target size)
+    x2 = jnp.asarray(rng.random((3, 48, 48, 3)), jnp.float32)
+    ref2 = preprocess.pad_random_crop(key, x2, pad=4)
+    fused2 = preprocess.resize_pad_random_crop(key, x2, 48, pad=4)
+    np.testing.assert_allclose(np.asarray(fused2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
