@@ -39,12 +39,12 @@ def main():
             if stage >= 1:
                 x = auto_augment_batch_fast(ks[3], x, policy="cifar10")
             if stage >= 2:
-                x = preprocess.resize_bilinear(x, 224)
+                # fused resize+pad+crop einsum (what make_train_pipeline
+                # runs; the old resize->pad->vmap'd-slice form gathered)
+                x = preprocess.resize_pad_random_crop(ks[0], x, 224, pad=4)
             if stage >= 3:
-                x = preprocess.pad_random_crop(ks[0], x, pad=4)
-            if stage >= 4:
                 x = preprocess.random_hflip(ks[1], x)
-            if stage >= 5:
+            if stage >= 4:
                 x = preprocess.normalize(x, mean, std).astype(jnp.bfloat16)
             # reduce to a scalar so timing isn't dominated by a
             # (..., 3)-channel output layout (CLAUDE.md pitfall)
@@ -61,7 +61,7 @@ def main():
 
         return many
 
-    names = ["u8_to_f32", "autoaug", "resize224", "crop", "hflip",
+    names = ["u8_to_f32", "autoaug", "resize_pad_crop", "hflip",
              "normalize_cast"]
     iters = 50
     keys = jax.random.split(jax.random.PRNGKey(0), iters)
