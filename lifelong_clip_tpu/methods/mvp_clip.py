@@ -78,6 +78,7 @@ class CLIP_MVP(OnlineTrainer):
     alpha = 0.5
     gamma = 2.0
     margin = 0.5
+    task_num = 10  # e-prompt pool size (reference mvp_clip.py:26)
 
     def setup_model(self):
         cfg = self.cfg
@@ -85,7 +86,10 @@ class CLIP_MVP(OnlineTrainer):
             cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
         self.peft_cfg = PEFTConfig(method="mvp")
         self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
-        self.e_pool = cfg.stream.n_tasks * 2  # reference: task_num
+        # reference CLIP_MVP(task_num=10) — get_model (models/__init__.py:
+        # 36-37) never passes task_num, so the shipped e-prompt pool is 10
+        # regardless of n_tasks
+        self.e_pool = self.task_num
         self.mvp = init_mvp_params(self.next_rng(), self.clip_cfg,
                                    e_pool=self.e_pool,
                                    num_classes=self.vocab.max_classes)
@@ -137,9 +141,16 @@ class CLIP_MVP(OnlineTrainer):
                                   use_mask=use_mask)
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, batch["labels"])
+                loss = ce.mean()
                 if use_gsf:
-                    ce = (1 - alpha) * ce + alpha * (ign ** gamma) * ce
-                loss = ce.mean() + sim_loss
+                    # reference broadcast quirk (mvp_clip.py:273-276, and
+                    # identically mvp.py:248-250): nll_loss is ALREADY
+                    # mean-reduced when the (B,) ign**gamma broadcast hits
+                    # it, so GSF scales the mean loss by mean(ign**gamma)
+                    # instead of weighting per-sample CE (the paper's form)
+                    loss = (1 - alpha) * loss + \
+                        alpha * jnp.mean(ign ** gamma) * loss
+                loss = loss + sim_loss
                 acc = jnp.mean((jnp.argmax(logits, -1) ==
                                 batch["labels"]).astype(jnp.float32))
                 return loss, (acc, new_count)

@@ -263,7 +263,9 @@ class MVP(OnlineTrainer):
         self.compute_dtype = jnp.bfloat16 if cfg.use_bf16 else jnp.float32
         c = self.vocab.max_classes
         e = self.clip_cfg.embed_dim
-        self.e_pool = cfg.stream.n_tasks * 2
+        # reference MVP(task_num=10) — get_model (models/__init__.py:18)
+        # never passes task_num, so the shipped e-prompt pool is 10
+        self.e_pool = 10
         trainable = init_mvp_params(self.next_rng(), self.clip_cfg,
                                     e_pool=self.e_pool, num_classes=c)
         trainable["head"] = {"w": jnp.zeros((e, c), jnp.float32),
@@ -315,9 +317,14 @@ class MVP(OnlineTrainer):
                                      batch["mask"])
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, batch["labels"])
+                loss = ce.mean()
                 if use_gsf:
-                    ce = (1 - alpha) * ce + alpha * (ign ** gamma) * ce
-                loss = ce.mean() + sim_loss
+                    # reference broadcast quirk (mvp.py:248-250): nll_loss
+                    # is mean-reduced before the (B,) ign**gamma broadcast,
+                    # so GSF scales the mean loss by mean(ign**gamma)
+                    loss = (1 - alpha) * loss + \
+                        alpha * jnp.mean(ign ** gamma) * loss
+                loss = loss + sim_loss
                 acc = jnp.mean((jnp.argmax(logits, -1) ==
                                 batch["labels"]).astype(jnp.float32))
                 return loss, (acc, new_count)

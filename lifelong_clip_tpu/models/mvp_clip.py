@@ -143,9 +143,16 @@ def mvp_features(frozen,
     if use_contrastiv:
         key_dist = 1.0 - _cos(mvp["key"][:, None, :],
                               mvp["key"][None, :, :])       # (E, E)
-        kd = key_dist[idx] / mass[idx][:, None]             # (B, E)
-        pos = jnp.exp(kd).mean()
-        anchor = jnp.exp(sel_dist / mass[idx]).mean()
+        # reference broadcast quirk (mvp_clip.py:241-247): with topk of
+        # shape (B, 1), `key_wise_distance[topk] / mass[topk]` broadcasts
+        # (B, 1, E) against (B, 1) -> (B, B, E), and `distance /
+        # mass[topk]` broadcasts (B,) against (B, 1) -> (B, B): every
+        # sample's distances are rescaled by every OTHER sample's count
+        # mass too, and the mean runs over the cross terms as well
+        m = mass[idx]                                       # (B,)
+        kd = key_dist[idx]                                  # (B, E)
+        pos = jnp.exp(kd[:, None, :] / m[None, :, None]).mean()
+        anchor = jnp.exp(sel_dist[:, None] / m[None, :]).mean()
         similarity_loss = -jnp.log(pos / (anchor + pos) + 1e-6)
     else:
         similarity_loss = sel_dist.mean()
