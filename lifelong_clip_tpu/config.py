@@ -189,5 +189,8 @@ class TrainConfig:
     n_worker: int = 0
     seed: int = 1
     profile: bool = False
+    # force activation rematerialization in the train step (auto-enabled
+    # at batchsize >= 256, where the un-remat'd step exceeds HBM)
+    remat: bool = False
     ckpt_dir: str = ""       # save resume checkpoints at task boundaries
     resume_from: str = ""    # restore a run from this checkpoint dir

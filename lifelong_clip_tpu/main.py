@@ -83,6 +83,9 @@ def base_parser() -> argparse.ArgumentParser:
                    help="device mesh 'DATAxMODEL', e.g. 8x1")
     p.add_argument("--n_worker", type=int, default=0)
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="force activation rematerialization in the train "
+                        "step (auto-enabled at batchsize >= 256)")
     p.add_argument("--ckpt_dir", type=str, default="",
                    help="save resume checkpoints at task boundaries")
     p.add_argument("--resume_from", type=str, default="",
@@ -159,7 +162,8 @@ def args_to_config(args) -> TrainConfig:
         note=args.note or f"{args.method}_{args.visible_classes}_"
                           f"{args.peft_encoder}_{args.seed}",
         debug=args.debug, mesh_shape=mesh, n_worker=args.n_worker,
-        seed=args.seed, profile=args.profile, ckpt_dir=args.ckpt_dir,
+        seed=args.seed, profile=args.profile, remat=args.remat,
+        ckpt_dir=args.ckpt_dir,
         resume_from=args.resume_from, epoch_num=args.epochNum,
         text_template=args.text_template,
         ce_on_probs=bool(args.ce_on_probs))

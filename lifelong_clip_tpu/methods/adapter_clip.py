@@ -87,8 +87,8 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             loss_fn=ce_on_probs_loss if cfg.ce_on_probs else None,
             # at bs=256 the un-remat'd step fails to COMPILE (HBM);
             # at bs=128 measured remat loses slightly to the spill
-            # (690 vs 738 samples/s) — threshold at 256
-            remat=cfg.batchsize >= 256)
+            # (690 vs 738 samples/s) — threshold at 256, --remat forces on
+            remat=cfg.remat or cfg.batchsize >= 256)
         self._text_fn = make_text_feature_fn(
             self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype,
             attn_impl=self._attn_impl)

@@ -136,6 +136,11 @@ def make_train_step(clip_cfg: CLIPConfig,
         peft_forward_cached_text if cached_text else peft_forward,
         clip_cfg=clip_cfg, peft_cfg=peft_cfg,
         compute_dtype=compute_dtype, attn_impl=attn_impl, remat=remat)
+    if forward_fn is not None and remat:
+        # custom forwards don't thread the fine-grained depth-scan remat;
+        # checkpoint the whole forward so the backward recomputes instead
+        # of saving block intermediates (the bs>=128 HBM spill)
+        fwd = jax.checkpoint(forward_fn)
 
     def default_loss(logits, labels):
         return optax.softmax_cross_entropy_with_integer_labels(

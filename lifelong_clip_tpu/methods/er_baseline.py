@@ -85,7 +85,8 @@ class ER(OnlineTrainer):
             mean=self.train_dataset.mean, std=self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
             use_cutmix="cutmix" in cfg.transforms,
-            compute_dtype=self.compute_dtype, forward_fn=fwd)
+            compute_dtype=self.compute_dtype, forward_fn=fwd,
+            remat=cfg.remat or cfg.batchsize >= 256)
 
         @jax.jit
         def predict_fn(frozen, trainable, images_u8, mask):
