@@ -79,7 +79,8 @@ class MaPLe(OnlineTrainer):
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
-            compute_dtype=self.compute_dtype, forward_fn=fwd)
+            compute_dtype=self.compute_dtype, forward_fn=fwd,
+            remat=cfg.remat or cfg.batchsize >= 256)
 
         from ..models import clip as clip_fns
         from ..models.maple import maple_encode_image, maple_encode_text
@@ -111,6 +112,14 @@ class MaPLe(OnlineTrainer):
         self._text_fn = text_features
         self._eval_fn = eval_step
         self._txt_cache_key = None
+
+    def online_before_task(self, task_id):
+        # the reference rebuilds the optimizer at every task boundary
+        # (online_before_task -> reset_opt, methods/maple.py:138 +
+        # _trainer.py:536-538): fresh moments + restarted schedule
+        if task_id > 0:
+            self.state = self.state.replace(
+                opt_state=self.tx.init(self.state.trainable))
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg

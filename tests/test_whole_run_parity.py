@@ -60,6 +60,12 @@ def _install_stubs():
 
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+    # the MaPLe blocks hard-cast prompt tensors with .half() even when the
+    # model runs float32 (reference maple_clip/model.py:374,397,570) — on a
+    # CPU-float run torch.cat then dtype-crashes. Identity keeps the run in
+    # f32 on BOTH sides (on the intended fp16-GPU path the cast is lossy
+    # but type-consistent); only prompt tensors call .half() here.
+    torch.Tensor.half = lambda self, *a, **k: self
 
     if "randaugment" not in sys.modules:
         ra = types.ModuleType("randaugment")
@@ -222,10 +228,41 @@ def ref_env(tmp_path_factory):
         m.dtype = m.backbone.dtype
         return m
 
+    # tiny reference MaPLe: REAL widths (text 512, vision 768) — the
+    # reference hardcodes both in MultiModalPromptLearner
+    # (Linear(ctx_dim, 768) maple.py:115/131, torch.empty(n_ctx, 512)
+    # maple.py:125) so no other width can build — at depth-3 towers, which
+    # keep every compound-prompt injection layer (1, 2) live
+    import models.maple_clip.model as ref_mc_model_mod  # noqa: E402
+    import models.maple as ref_maple_model_mod  # noqa: E402
+
+    _maple_design = {"trainer": "MaPLe", "vision_depth": 0,
+                     "language_depth": 0, "vision_ctx": 0,
+                     "language_ctx": 0, "maple_length": 3}
+
+    def tiny_maple_clip(name, n_ctx=3, device="cpu"):
+        torch.manual_seed(0)
+        return ref_mc_model_mod.CLIP(
+            embed_dim=64, image_resolution=32, vision_layers=3,
+            vision_width=768, vision_patch_size=8, context_length=77,
+            vocab_size=49408, transformer_width=512, transformer_heads=8,
+            transformer_layers=3, design_details=_maple_design).float()
+
+    ref_maple_model_mod.load_clip = tiny_maple_clip
+
+    def build_ref_maple_model():
+        # load_clip reseeds to 0, so the prompt-learner draws that follow
+        # tower construction land on the same RNG state every call —
+        # repeated builds are bit-identical
+        return ref_maple_model_mod.MaPLe(model_name="tiny", n_ctx=3,
+                                         device="cpu")
+
     def fake_get_model(model_name=None, method=None, peft_encoder="image",
                        **kw):
         if method == "mvp-clip":
             return build_ref_mvp_model(), 32
+        if method == "maple":
+            return build_ref_maple_model(), 32
         return ref_adapter_mod.AdapterCLIP(
             model_name="tiny", peft_method="lora",
             peft_encoder=peft_encoder, device=torch.device("cpu")), 32
@@ -235,6 +272,7 @@ def ref_env(tmp_path_factory):
     import methods._trainer as ref_trainer_mod  # noqa: E402
     import methods.adapter_clip as ref_adapter_trainer  # noqa: E402
     import methods.mvp_clip as ref_mvp_trainer  # noqa: E402
+    import methods.maple as ref_maple_trainer  # noqa: E402
 
     # CPU DataParallel so online_step's `.module` works (the nohup.out
     # crash in the reference comes from the missing wrap on 1 GPU).
@@ -254,7 +292,9 @@ def ref_env(tmp_path_factory):
     return types.SimpleNamespace(
         trainer_cls=ref_adapter_trainer.AdapterCLIP,
         mvp_trainer_cls=ref_mvp_trainer.CLIP_MVP,
+        maple_trainer_cls=ref_maple_trainer.MaPLe,
         build_ref_mvp_model=build_ref_mvp_model,
+        build_ref_maple_model=build_ref_maple_model,
         tiny_loader=tiny_loader,
         ds_train=ds_train, ds_test=ds_test,
         tmp=tmp_path_factory.mktemp("refrun"))
@@ -646,6 +686,165 @@ def test_mvp_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
     # step 0 pins the whole stack: prompt selection + injection, the
     # contrastive cross-term loss, GSF via vmap(grad) vs the reference's
     # backward-in-a-loop, masking quirks
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
+
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.02)
+
+
+# ==========================================================================
+# maple: whole-run parity for the compound multi-modal prompt family
+# ==========================================================================
+#
+# Additional in-harness patches this family needs (all shipped reference
+# defects, same classes as the mvp ones): the .half() prompt casts
+# (handled in _install_stubs), memory_batchsize=0 -> DataLoader
+# (batch_size=0) raise, world_size = cuda.device_count() = 0,
+# report_training arity (maple.py:301 takes 3 args, _trainer.py:350 passes
+# 4), online_evaluate arity (maple.py:173 takes 1, _trainer.py:438 passes
+# 2), and the 10-bin _interpret_pred histogram (crashes at n_classes=20).
+
+def _maple_ref_kwargs(log_path: str):
+    kw = _ref_kwargs(log_path)
+    # temp_batchsize=None -> the shipped batchsize//2 default: maple's
+    # per-step MemoryBatchSampler draws `temp_batchsize*online_iter*
+    # world_size` iterations, and 0 iterations makes torch.cat([]) raise
+    # (same defect class the mvp harness documents); 8 is behavior-neutral
+    # at memory_size=0 (all draws are empty)
+    kw.update(method="maple", n_ctx=3, temp_batchsize=None)
+    return kw
+
+
+def _run_reference_maple(ref_env):
+    import torch
+    tr = ref_env.maple_trainer_cls(**_maple_ref_kwargs(
+        str(ref_env.tmp / "maple")))
+    tr.memory_batchsize = 1   # shipped defect #4 (behavior-neutral: the
+    tr.world_size = 1         # memory stays empty at memory_size=0)
+    tr.report_training = lambda *a, **k: None
+    _orig_eval = tr.online_evaluate
+    tr.online_evaluate = lambda loader, *a, **k: _orig_eval(loader)
+
+    def fixed_interpret(y, pred):
+        cnt = torch.zeros(tr.n_classes)
+        correct = torch.zeros(tr.n_classes)
+        for c in y.unique():
+            m = y == c
+            cnt[c] = m.sum()
+            correct[c] = (pred[m] == c).sum()
+        return cnt, correct
+
+    tr._interpret_pred = fixed_interpret
+    losses = []
+    orig_step = tr.online_step
+
+    def record_step(images, labels, idx):
+        loss, acc = orig_step(images, labels, idx)
+        losses.append(float(loss))
+        return loss, acc
+
+    tr.online_step = record_step
+    tr.run()
+    acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
+    return np.asarray(acc, np.float64), np.asarray(losses)
+
+
+def _run_ours_maple(ref_env, monkeypatch, tmp_path):
+    import torch
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import (TrainConfig, PEFTConfig,
+                                          StreamConfig)
+    import lifelong_clip_tpu.methods.maple as ours_maple_mod
+    from lifelong_clip_tpu.methods.maple import MaPLe as OurMaPLe
+    from lifelong_clip_tpu.models.convert import load_clip_params
+    from lifelong_clip_tpu.ops import preprocess as prep
+
+    # bit-identical weights: towers through the converter, prompt learner
+    # converted tensor-by-tensor (ctx / proj / compound prompts + the
+    # cloned per-depth projections)
+    ref_m = ref_env.build_ref_maple_model()
+    ckpt = tmp_path / "tiny_maple_backbone.pt"
+    torch.save(ref_m.base_clip_model.state_dict(), str(ckpt))
+    pl = ref_m.prompt_learner
+    learner = {
+        "ctx": jnp.asarray(pl.ctx.detach().numpy()),
+        "proj_w": jnp.asarray(pl.proj.weight.detach().numpy().T),
+        "proj_b": jnp.asarray(pl.proj.bias.detach().numpy()),
+        "compound_text": jnp.asarray(
+            torch.stack(list(pl.compound_prompts_text)).detach().numpy()),
+        "compound_proj_w": jnp.asarray(np.stack(
+            [l.weight.detach().numpy().T
+             for l in pl.compound_prompt_projections])),
+        "compound_proj_b": jnp.asarray(np.stack(
+            [l.bias.detach().numpy()
+             for l in pl.compound_prompt_projections])),
+    }
+    monkeypatch.setattr(ours_maple_mod, "build_clip",
+                        lambda *a, **k: load_clip_params(str(ckpt)))
+    monkeypatch.setattr(ours_maple_mod, "init_maple_params",
+                        lambda *a, **k: learner)
+    monkeypatch.setattr(prep, "make_train_pipeline", _det_pipeline)
+
+    accs, losses = [], []
+
+    class ParityMaPLeTrainer(OurMaPLe):
+        """Production trainer minus tail-batch padding (the reference
+        trains on the raw 4-sample tail)."""
+
+        def online_step(self, images, labels, indices):
+            cfg = self.cfg
+            tokens, mask, y, _ = self.vocab.batch_table(
+                labels, self.step_capacity)
+            batch = {"images": jnp.asarray(images),
+                     "labels": jnp.asarray(y, jnp.int32),
+                     "tokens": jnp.asarray(tokens),
+                     "mask": jnp.asarray(mask)}
+            stats = {}
+            for _ in range(max(int(cfg.online_iter), 1)):
+                self.state, stats = self._train_step(self.state, batch)
+            self._txt_cache_key = None
+            losses.append(float(stats["loss"]))
+            return stats
+
+        def online_after_task(self, task_id):
+            super().online_after_task(task_id)
+            # reference task-end eval (evalue_afterTrain -> maple
+            # online_evaluate): exposed-class test samples scored against
+            # the exposure-ordered class table == this repo's evaluate()
+            correct, total = self.evaluate()
+            accs.append(correct.sum() / max(total.sum(), 1))
+
+    cfg = TrainConfig(
+        method="maple", dataset="synthetic-20", model_name="ViT-B/16",
+        pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
+        online_iter=1, temp_batchsize=0, lr=LR, opt_name="adamw",
+        sched_name="const", memory_size=0, eval_period=100000,
+        visible_classes="batch", peft=PEFTConfig(method="maple"),
+        stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
+                            seed=SEED),
+        transforms=(), use_bf16=False, log_path=str(tmp_path),
+        seed=SEED)
+
+    tr = ParityMaPLeTrainer(cfg, train_dataset=ref_env.ds_train,
+                            test_dataset=ref_env.ds_test)
+    tr.run()
+    return np.asarray(accs, np.float64), np.asarray(losses)
+
+
+def test_maple_whole_run_trajectories_match(ref_env, monkeypatch,
+                                            tmp_path):
+    ref_acc, ref_losses = _run_reference_maple(ref_env)
+    our_acc, our_losses = _run_ours_maple(ref_env, monkeypatch, tmp_path)
+
+    assert len(ref_losses) == len(our_losses), \
+        "step counts differ: stream/batching diverged"
+    # step 0 pins the whole compound-prompt stack: ctx splice + per-layer
+    # replacement on both towers, the 512->768 projections, EOT pooling
     np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
                                atol=1e-4)
     np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
