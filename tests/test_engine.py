@@ -266,3 +266,50 @@ def test_remat_step_matches_plain(synth):
                            new_state.trainable)[0]))
     assert outs[False][0] == outs[True][0]
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+def test_remat_custom_forward_matches_plain(synth):
+    """With a caller-supplied forward_fn the fine-grained depth-scan remat
+    can't thread through — make_train_step wraps the whole forward in
+    jax.checkpoint instead (the maple/ER large-batch path). Same
+    pure-scheduling guarantee: identical loss and updates."""
+    import functools
+    from lifelong_clip_tpu.methods.engine import (TrainState,
+                                                  make_train_step,
+                                                  peft_forward_cached_text)
+    from lifelong_clip_tpu.models import build_peft
+    from lifelong_clip_tpu.models.init import init_clip_params
+    from lifelong_clip_tpu.utils.train_utils import make_optimizer
+
+    peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    peft = build_peft(jax.random.PRNGKey(1), TINY, peft_cfg)
+    tx = make_optimizer("adamw", 1e-3)
+    fwd = functools.partial(peft_forward_cached_text, clip_cfg=TINY,
+                            peft_cfg=peft_cfg,
+                            compute_dtype=jnp.float32, attn_impl=None)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jnp.asarray(rng.integers(0, 255, (8, 32, 32, 3),
+                                           np.uint8)),
+        "labels": jnp.asarray(rng.integers(0, 4, (8,)), jnp.int32),
+        "tokens": jnp.asarray(rng.normal(size=(4, 64)), jnp.float32),
+        "mask": jnp.zeros((4,), jnp.float32),
+    }
+    outs = {}
+    for remat in (False, True):
+        state = TrainState.create(trainable=jax.tree.map(jnp.copy, peft),
+                                  frozen=params, tx=tx,
+                                  rng=jax.random.PRNGKey(2))
+        step = make_train_step(TINY, peft_cfg, tx,
+                               image_size=TINY.image_size,
+                               mean=(0.5,) * 3, std=(0.5,) * 3,
+                               augment=False, forward_fn=fwd,
+                               compute_dtype=jnp.float32, donate=False,
+                               remat=remat)
+        new_state, m = step(state, batch)
+        outs[remat] = (float(m["loss"]),
+                       np.asarray(jax.tree.leaves(
+                           new_state.trainable)[0]))
+    assert outs[False][0] == outs[True][0]
+    np.testing.assert_array_equal(outs[False][1], outs[True][1])

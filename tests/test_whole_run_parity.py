@@ -525,7 +525,25 @@ def _mvp_ref_kwargs(log_path: str):
     return kw
 
 
+def _patch_memory_loader_workers(trainer_mod):
+    """Harness-only speedup: the reference online_step constructs AND
+    iter()s a DataLoader(num_workers=4) for the (empty) replay memory on
+    EVERY step — ~4 worker-process forks per step, minutes of pure fork
+    overhead on this 1-core box. Worker count is not semantics and the
+    provider is never read at memory_size=0; force 0 workers."""
+    import torch.utils.data as tud
+    real = tud.DataLoader
+
+    def zero_workers(*a, **k):
+        k["num_workers"] = 0
+        return real(*a, **k)
+
+    trainer_mod.DataLoader = zero_workers
+
+
 def _run_reference_mvp(ref_env):
+    import methods.mvp_clip as ref_mvp_trainer_mod
+    _patch_memory_loader_workers(ref_mvp_trainer_mod)
     tr = ref_env.mvp_trainer_cls(**_mvp_ref_kwargs(
         str(ref_env.tmp / "mvp")))
     tr.memory_batchsize = 1  # in-harness patch for shipped defect #4
@@ -722,6 +740,8 @@ def _maple_ref_kwargs(log_path: str):
 
 def _run_reference_maple(ref_env):
     import torch
+    import methods.maple as ref_maple_trainer_mod
+    _patch_memory_loader_workers(ref_maple_trainer_mod)
     tr = ref_env.maple_trainer_cls(**_maple_ref_kwargs(
         str(ref_env.tmp / "maple")))
     tr.memory_batchsize = 1   # shipped defect #4 (behavior-neutral: the
@@ -834,6 +854,122 @@ def _run_ours_maple(ref_env, monkeypatch, tmp_path):
                             test_dataset=ref_env.ds_test)
     tr.run()
     return np.asarray(accs, np.float64), np.asarray(losses)
+
+
+# ==========================================================================
+# continual-clip: whole-run parity for the zero-shot path
+# ==========================================================================
+#
+# The reference's ContinualCLIP wraps the PIP `clip` package (2-tuple
+# forward); this harness serves the vendored tiny CLIP through a 2-tuple
+# adapter so the real trainer loop runs unmodified. Exercises the
+# OnlineTestSampler exposure filtering, exposure-ordered text classifier
+# rebuild, and the task-acc artifact pipeline with zero training.
+
+def _czs_ref_kwargs(log_path: str):
+    kw = _ref_kwargs(log_path)
+    kw.update(method="continual-clip")
+    return kw
+
+
+def _run_reference_czs(ref_env):
+    import sys as _sys
+    import torch
+    import models.maple_clip.clip as ref_mc_clip  # tokenize (CLIP BPE)
+    import models.continual_clip as ref_czs_model_mod  # noqa: E402
+
+    class _TwoTuple(torch.nn.Module):
+        """pip-clip API adapter over the vendored 4-tuple CLIP."""
+
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, image, text):
+            out = self.m(image, text)
+            return out[0], out[1]
+
+    clip_stub = _sys.modules["clip"]
+    clip_stub.load = lambda name, device="cpu", jit=False: (
+        _TwoTuple(ref_env.tiny_loader(name)), None)
+    clip_stub.tokenize = ref_mc_clip.tokenize
+
+    import methods.continual_clip as ref_czs_trainer  # noqa: E402
+    tr = ref_czs_trainer.ContinualCLIP(**_czs_ref_kwargs(
+        str(ref_env.tmp / "czs")))
+    # shipped defects (same classes as mvp/maple): no .dtype on the
+    # wrapper; report_training/online_evaluate arity; 10-bin histogram
+    tr.custom_clip.dtype = torch.float32
+    tr.report_training = lambda *a, **k: None
+    _orig_eval = tr.online_evaluate
+    tr.online_evaluate = lambda loader, *a, **k: _orig_eval(loader)
+
+    def fixed_interpret(y, pred):
+        cnt = torch.zeros(tr.n_classes)
+        correct = torch.zeros(tr.n_classes)
+        for c in y.unique():
+            m = y == c
+            cnt[c] = m.sum()
+            correct[c] = (pred[m] == c).sum()
+        return cnt, correct
+
+    tr._interpret_pred = fixed_interpret
+    tr.run()
+    acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
+    return np.asarray(acc, np.float64)
+
+
+def _run_ours_czs(ref_env, monkeypatch, tmp_path):
+    import torch
+    from lifelong_clip_tpu.config import (TrainConfig, PEFTConfig,
+                                          StreamConfig)
+    import lifelong_clip_tpu.methods.continual_clip as ours_czs_mod
+    from lifelong_clip_tpu.methods.continual_clip import (
+        ContinualCLIP as OurCZS)
+    from lifelong_clip_tpu.models.convert import load_clip_params
+    from lifelong_clip_tpu.ops import preprocess as prep
+
+    ref_model = ref_env.tiny_loader("tiny")
+    ckpt = tmp_path / "tiny_vanilla.pt"
+    torch.save(ref_model.state_dict(), str(ckpt))
+    monkeypatch.setattr(ours_czs_mod, "build_clip",
+                        lambda *a, **k: load_clip_params(str(ckpt)))
+    monkeypatch.setattr(prep, "make_train_pipeline", _det_pipeline)
+
+    accs = []
+
+    class ParityCZS(OurCZS):
+        def online_after_task(self, task_id):
+            super().online_after_task(task_id)
+            correct, total = self.evaluate()
+            accs.append(correct.sum() / max(total.sum(), 1))
+
+    cfg = TrainConfig(
+        method="continual-clip", dataset="synthetic-20",
+        model_name="ViT-B/16", pretrained_path=str(ckpt),
+        batchsize=BATCH, test_batchsize=32, online_iter=1,
+        temp_batchsize=0, lr=LR, opt_name="adamw", sched_name="const",
+        memory_size=0, eval_period=100000, visible_classes="batch",
+        peft=PEFTConfig(method="none"),
+        stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
+                            seed=SEED),
+        transforms=(), use_bf16=False, log_path=str(tmp_path),
+        seed=SEED)
+
+    tr = ParityCZS(cfg, train_dataset=ref_env.ds_train,
+                   test_dataset=ref_env.ds_test)
+    tr.run()
+    return np.asarray(accs, np.float64)
+
+
+def test_zero_shot_whole_run_trajectories_match(ref_env, monkeypatch,
+                                                tmp_path):
+    ref_acc = _run_reference_czs(ref_env)
+    our_acc = _run_ours_czs(ref_env, monkeypatch, tmp_path)
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    # frozen model, deterministic preprocessing: only fp32 accumulation
+    # drift can flip a borderline prediction
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.01)
 
 
 def test_maple_whole_run_trajectories_match(ref_env, monkeypatch,
