@@ -26,6 +26,7 @@ import optax
 
 from ..config import PEFTConfig
 from ..models import build_clip
+from ..models import clip as clip_fns
 from ..models import proto_clip as pc
 from ..models.init import param_count
 from ..ops import preprocess
@@ -154,22 +155,39 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         self._stage1_step = jax.jit(stage1_step, static_argnums=(2,))
 
-        @jax.jit
-        def extract_features(frozen, proto, images_u8):
+        def eval_preprocess(images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             x = preprocess.resize_bilinear(x, clip_cfg.image_size)
-            x = preprocess.normalize(x, self.train_dataset.mean,
-                                     self.train_dataset.std)
-            return pc.proto_encode_image(
-                frozen, proto, x.astype(dt), clip_cfg,
-                task_count=0, n_tasks=n_tasks, train=False,
-                compute_dtype=dt)
-
-        self._extract = extract_features
+            return preprocess.normalize(x, self.train_dataset.mean,
+                                        self.train_dataset.std)
 
         @jax.jit
-        def eval_logits(frozen, proto, images_u8, tokens, mask):
-            img = extract_features(frozen, proto, images_u8)
+        def extract_plain(frozen, images_u8):
+            # prototype/SDC features run the PLAIN tower (no CoPL
+            # prompts), L2-normalized — the reference extracts them via
+            # AdapterCLIP.encode_image (models/adapter_clip.py:76-79)
+            # through Trainer.extract_vector, NOT the prompted forward
+            x = eval_preprocess(images_u8)
+            f = clip_fns.encode_image(frozen, x.astype(dt), clip_cfg,
+                                      compute_dtype=dt)
+            return clip_fns.normalize(f)
+
+        self._extract_plain = extract_plain
+
+        # task_count is STATIC (recompiles once per task, served from the
+        # compile cache): eval after task N must use pool slices 0..N like
+        # the reference (zoo.py:95-110 eval branch K[0:f]) — a fixed 0
+        # froze eval to the first task's slice
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def eval_logits(frozen, proto, images_u8, tokens, mask,
+                        task_count):
+            x = eval_preprocess(images_u8)
+            img = pc.proto_encode_image(
+                frozen, proto, x.astype(dt), clip_cfg,
+                task_count=task_count, n_tasks=n_tasks, train=False,
+                compute_dtype=dt)
             txt, _ = pc.proto_text_features(frozen, proto, img, tokens,
                                             clip_cfg, top_k=top_k,
                                             n_ctx=n_ctx,
@@ -180,11 +198,19 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         self._eval_fn = eval_logits
 
-    # -- task boundary: pre-task old-model embeddings -------------------------
+    # -- task boundary: opt reset + pre-task embeddings + pool GS -------------
     def online_before_task(self, task_id):
-        """Extract the INCOMING task's samples with the pre-task model
-        (reference ``compute_old_embedding()``, Trainer_ProtoCLIP.py:259-266)
-        so drift pairs the same images across the old/new model."""
+        """Reference ``online_before_task`` order (Trainer_ProtoCLIP.py:
+        57-91): freeze policy + ``reset_opt``, ``compute_old_embedding``
+        (extract the INCOMING task's samples with the pre-task model so
+        drift pairs the same images across old/new), THEN the CoPL
+        task-count advance + Gram-Schmidt re-init (``process_task_count``,
+        zoo.py:58-79). GS runs here — after the previous task's eval —
+        not at task end: the re-orthogonalized pools are first seen by the
+        new task's steps."""
+        if task_id > 0:
+            self.state = self.state.replace(
+                opt_state=self.tx.init(self.state.trainable))
         idx = np.asarray(self.stream.task_indices[task_id], np.int64)
         if self.cfg.debug:
             idx = idx[:500]
@@ -195,6 +221,14 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             self._old_feats = self._batched_features(self._sdc_idx)
         else:
             self._old_feats = None
+        if task_id > 0:
+            self.task_count += 1
+            copl = {k: pc.gram_schmidt(np.asarray(v))
+                    for k, v in self.state.trainable["copl"].items()}
+            trainable = dict(self.state.trainable,
+                             copl={k: jnp.asarray(v)
+                                   for k, v in copl.items()})
+            self.state = self.state.replace(trainable=trainable)
 
     # -- stage 1 ------------------------------------------------------------
     def online_step(self, images, labels, indices):
@@ -226,7 +260,6 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         if len(idx) == 0:
             return
         feats = self._batched_features(idx)
-        labels = self.train_dataset.targets[idx]
 
         # semantic drift compensation: same samples under old vs new model
         # shift the OLD prototypes (reference stage1_and_stage2():267-280 +
@@ -239,29 +272,44 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                                self._class_means[slots], self.sigma_drift)
             self._class_means[slots] += gap
 
-        # per-class mean + covariance (one batched sweep; reference loops
-        # a DataLoader per class at ~30 s/class)
-        for c in np.unique(labels):
-            f = feats[labels == c].astype(np.float64)
+        # per-class mean + covariance, computed ONCE when a class first
+        # gets a prototype and never rebuilt (reference _compute_class_mean
+        # :308-358 runs only over the incoming range(known, total) window;
+        # later tasks only drift-shift the means). The sample set is ALL
+        # train-split samples of the class under the eval transform
+        # (get_dataset_by_indices source='train' mode='test'); cov is f64
+        # + 1e-3·I (reference :345). The reference's per-class DataLoader
+        # at ~30 s/class becomes a batched sweep.
+        targets = np.asarray(self.train_dataset.targets)
+        for c in self._prototype_classes(task_id):
             slot = self.vocab.remap([c])[0]
+            if self._have_proto[slot]:
+                continue
+            cls_idx = np.nonzero(targets == int(c))[0]
+            if len(cls_idx) == 0:
+                continue
+            f = self._batched_features(cls_idx).astype(np.float64)
             self._class_means[slot] = f.mean(axis=0)
             cov = np.cov(f.T) if len(f) > 1 else np.eye(f.shape[1])
-            self._class_covs[slot] = cov + 1e-4 * np.eye(f.shape[1])
+            self._class_covs[slot] = cov + 1e-3 * np.eye(f.shape[1])
             self._have_proto[slot] = True
 
         self._old_feats = None
         # stage-2 runs from the second task on, gated on --ca
         # (reference stage1_and_stage2():284-286)
         if task_id > 0 and self.ca_epochs > 0 and self.ca:
-            self._stage2()
-        self.task_count += 1
-        # CoPL pool re-orthogonalization at the task switch
-        copl = {k: pc.gram_schmidt(np.asarray(v))
-                for k, v in self.state.trainable["copl"].items()}
-        trainable = dict(self.state.trainable,
-                         copl={k: jnp.asarray(v) for k, v in copl.items()})
-        self.state = self.state.replace(trainable=trainable)
+            self._stage2(task_id)
         self._task_samples = []
+
+    def _prototype_classes(self, task_id):
+        """Classes whose prototypes are built at this task's end: every
+        exposed class that does not have one yet. (The reference's window
+        is ``range(_known_classes, _total_classes)`` — RAW class ids
+        advanced by per-task disjoint counts, which assumes classes enter
+        in id order and skips blurry-only classes; here the sane
+        exposure-driven equivalent builds each class's prototype at the
+        end of the task that first exposes it.)"""
+        return list(self.vocab.exposed)
 
     def _batched_features(self, idx: np.ndarray) -> np.ndarray:
         bs = self.cfg.batchsize
@@ -272,33 +320,43 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             n = len(chunk)
             if n < bs:
                 imgs = np.concatenate([imgs, imgs[:bs - n]])[:bs]
-            f = np.asarray(self._extract(self.state.frozen,
-                                         self.state.trainable,
-                                         jnp.asarray(imgs)),
+            f = np.asarray(self._extract_plain(self.state.frozen,
+                                               jnp.asarray(imgs)),
                            np.float32)
             out[lo:lo + n] = f[:n]
         return out
 
-    def _stage2(self):
+    def _stage2(self, task_id):
         """MVN-sample features per seen class, retrain the text pools."""
         slots = np.nonzero(self._have_proto)[0]
         if len(slots) == 0:
             return
         rng = np.random.default_rng(self.cfg.seed + self.task_count)
-        n_tasks = self.cfg.stream.n_tasks
-        task_size = max(len(slots) // max(self.task_count + 1, 1), 1)
+        # decay grouping uses the CURRENT task's disjoint class count
+        # (reference passes train_sampler.disjoint_class_num[task_id] as
+        # task_size, :286)
+        task_size = max(len(self.stream.disjoint_classes[task_id]), 1)
 
-        # reference stage-2 uses SGD(momentum=0.9, weight_decay=self.wd=0)
-        # (Trainer_ProtoCLIP.py:476-479) — distinct from the generic
-        # select_optimizer sgd, which has no momentum
-        tx = make_optimizer("sgd", self.stage2_lr, sched_name="cos",
-                            momentum=0.9, weight_decay=0.0,
-                            total_steps=self.ca_epochs * max(
-                                len(slots) * self.num_sampled_pcls // 16, 1))
+        # reference stage-2: SGD(momentum=0.9, weight_decay=self.wd=0)
+        # (Trainer_ProtoCLIP.py:476-479) under CosineAnnealingLR with
+        # T_max=ca_epochs stepped once PER EPOCH (:481, :564) — lr is
+        # constant within an epoch, cosine-decayed between epochs
+        nb_per_epoch = max(len(slots) * self.num_sampled_pcls // 16, 1)
+
+        def epoch_cosine(step):
+            e = jnp.minimum(step // nb_per_epoch, self.ca_epochs)
+            return self.stage2_lr * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * e / self.ca_epochs))
+
+        tx = optax.sgd(learning_rate=epoch_cosine, momentum=0.9)
         opt_state = tx.init(self.state.trainable)
         trainable = self.state.trainable
         tokens = jnp.asarray(self.vocab.token_table)
-        mask = jnp.asarray(self.vocab.logit_mask())
+        # stage-2 CE runs over exactly the prototype'd classes (the
+        # reference's table is all_classnames[:_total_classes] and it
+        # slices logits[:, :crct_num], :546-556) — mask everything else
+        mask = jnp.asarray(np.where(self._have_proto, 0.0,
+                                    -np.inf).astype(np.float32))
 
         import functools
 
@@ -360,7 +418,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
     def predict(self, images):
         preds, _ = self._eval_fn(self.state.frozen, self.state.trainable,
                                  jnp.asarray(images), self._tokens,
-                                 self._mask)
+                                 self._mask, self.task_count)
         return preds
 
 

@@ -140,7 +140,7 @@ def test_sdc_pairs_same_samples_and_moves_only_old_protos(synth):  # noqa: F811
     cfg = tiny_cfg(method="adapter-clip-proto_prompt", memory_size=0,
                    online_iter=1)
     tr = TinyProto(cfg, train_dataset=train, test_dataset=test)
-    tr._stage2 = lambda: None  # isolate the prototype/drift math
+    tr._stage2 = lambda task_id: None  # isolate the prototype/drift math
 
     # task 0: no prototypes yet -> no old-model extraction
     tr.online_before_task(0)
@@ -186,7 +186,9 @@ def test_proto_trainer_two_stage_run(synth):  # noqa: F811
     tr = TinyProto(cfg, train_dataset=train, test_dataset=test)
     out = tr.run()
     assert np.isfinite(out["A_last"])
-    assert tr.task_count == 2                 # advanced per task
+    # reference timing: process_task_count fires at online_BEFORE_task for
+    # task_id>0 (Trainer_ProtoCLIP.py:84-91), so a 2-task run ends at 1
+    assert tr.task_count == 1
     assert tr._have_proto.sum() > 0           # prototypes recorded
     # stage-2 moved the text pools
     assert np.isfinite(
