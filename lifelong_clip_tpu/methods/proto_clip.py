@@ -70,6 +70,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
     ca_epochs = 5
     stage2_lr = 5e-3
     sigma_drift = 4.0
+    copl_n_tasks = 10    # reference CoPLPrompt(768, 10, ...) hardcode
     # reference --ca/--ssca gates (config.py:31-33): ca enables the
     # stage-2 compact classifier, ssca enables semantic drift compensation
     ca = True
@@ -114,7 +115,11 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             use_autoaug="autoaug" in cfg.transforms,
             out_dtype=self.compute_dtype)
         clip_cfg, dt = self.clip_cfg, self.compute_dtype
-        n_tasks = cfg.stream.n_tasks
+        # CoPL pool task-slicing divisor: the reference hardcodes
+        # CoPLPrompt(768, 10, [100, 8, 0]) (models/proto_clip.py:82) — the
+        # pool is ALWAYS carved into 10 task slices regardless of the
+        # run's n_tasks
+        n_tasks = self.copl_n_tasks
         top_k, n_ctx = self.top_k, self.n_ctx
         # static class-suffix length for the prefix-shared text pass:
         # cover the longest tokenized class name, bucketed to 8
@@ -332,10 +337,7 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         if len(slots) == 0:
             return
         rng = np.random.default_rng(self.cfg.seed + self.task_count)
-        # decay grouping uses the CURRENT task's disjoint class count
-        # (reference passes train_sampler.disjoint_class_num[task_id] as
-        # task_size, :286)
-        task_size = max(len(self.stream.disjoint_classes[task_id]), 1)
+        task_size = self._stage2_task_size(task_id)
 
         # reference stage-2: SGD(momentum=0.9, weight_decay=self.wd=0)
         # (Trainer_ProtoCLIP.py:476-479) under CosineAnnealingLR with
@@ -360,18 +362,20 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         import functools
 
+        # frozen is an ARGUMENT, not a capture: baking the tower into the
+        # HLO as constants explodes compile time (the EWC++ lesson)
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def stage2_jit(trainable, opt_state, feats, labels):
+        def stage2_jit(trainable, opt_state, frozen, feats, labels):
             def objective(proto):
                 img = feats / (jnp.linalg.norm(feats, axis=-1,
                                                keepdims=True) + 1e-8)
                 img = img.astype(self.compute_dtype)
                 txt, _ = pc.proto_text_features(
-                    self.state.frozen, proto, img, tokens, self.clip_cfg,
+                    frozen, proto, img, tokens, self.clip_cfg,
                     top_k=self.top_k, n_ctx=self.n_ctx,
                     suffix_len=self.suffix_len,
                     compute_dtype=self.compute_dtype)
-                logits = pc.proto_logits(self.state.frozen, img, txt)
+                logits = pc.proto_logits(frozen, img, txt)
                 logits = logits + mask[None, :]
                 return optax.softmax_cross_entropy_with_integer_labels(
                     logits, labels).mean()
@@ -382,33 +386,50 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         sample_batch = 16
         for epoch in range(self.ca_epochs):
-            feats_list, label_list = [], []
-            for slot in slots:
-                t_id = int(slot) // task_size
-                decay = (t_id + 1) / (self.task_count + 1) * 0.1
-                mean = self._class_means[slot] * (0.9 + decay)
-                f = rng.multivariate_normal(
-                    mean, self._class_covs[slot],
-                    size=self.num_sampled_pcls,
-                    method="cholesky" if _is_pd(self._class_covs[slot])
-                    else "svd")
-                feats_list.append(f.astype(np.float32))
-                label_list.extend([int(slot)] * self.num_sampled_pcls)
-            feats = np.concatenate(feats_list)
-            labels = np.asarray(label_list, np.int64)
-            perm = rng.permutation(len(labels))
-            feats, labels = feats[perm], labels[perm]
+            feats, labels = self._stage2_sample_epoch(slots, task_size,
+                                                      rng)
             total = 0.0
             nb = len(labels) // sample_batch
             for i in range(nb):
                 sl = slice(i * sample_batch, (i + 1) * sample_batch)
                 trainable, opt_state, loss = stage2_jit(
-                    trainable, opt_state, jnp.asarray(feats[sl]),
+                    trainable, opt_state, self.state.frozen,
+                    jnp.asarray(feats[sl]),
                     jnp.asarray(labels[sl], jnp.int32))
                 total += float(loss)
             log.info("stage2 epoch %d | loss %.4f", epoch,
                      total / max(nb, 1))
         self.state = self.state.replace(trainable=trainable)
+
+    def _stage2_task_size(self, task_id) -> int:
+        """Decay-grouping width for stage 2. The reference passes
+        ``train_sampler.disjoint_class_num[task_id]`` (:286) — which its
+        sampler computes as the QUIRKY ``n_classes/n_tasks`` reshape of
+        ALL class names (online_sampler.py:62-63), not the true disjoint
+        count; here the sane true count is used (the parity harness
+        overrides to the reference's value)."""
+        return max(len(self.stream.disjoint_classes[task_id]), 1)
+
+    def _stage2_sample_epoch(self, slots, task_size, rng):
+        """One epoch's shuffled MVN feature draws (reference :507-524:
+        sample num_sampled_pcls per class from MVN(mean*(0.9+decay), cov),
+        concat, randperm-shuffle)."""
+        feats_list, label_list = [], []
+        for slot in slots:
+            t_id = int(slot) // task_size
+            decay = (t_id + 1) / (self.task_count + 1) * 0.1
+            mean = self._class_means[slot] * (0.9 + decay)
+            f = rng.multivariate_normal(
+                mean, self._class_covs[slot],
+                size=self.num_sampled_pcls,
+                method="cholesky" if _is_pd(self._class_covs[slot])
+                else "svd")
+            feats_list.append(f.astype(np.float32))
+            label_list.extend([int(slot)] * self.num_sampled_pcls)
+        feats = np.concatenate(feats_list)
+        labels = np.asarray(label_list, np.int64)
+        perm = rng.permutation(len(labels))
+        return feats[perm], labels[perm]
 
     # -- eval -----------------------------------------------------------------
     def prepare_eval(self):

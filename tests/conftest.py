@@ -23,6 +23,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# persistent compile cache: the heavyweight suite programs (whole-run
+# parity trainers, sharding tests) dominate wall-clock through XLA-CPU
+# compiles — repeat runs load executables from disk instead
+from lifelong_clip_tpu.utils.compile_cache import \
+    enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(
+    os.path.expanduser("~"), ".cache", "lifelong_clip_tpu", "xla-cpu"))
+
 import pytest  # noqa: E402
 
 
