@@ -306,6 +306,10 @@ def ref_env(tmp_path_factory):
             return build_ref_maple_model(), 32
         if method == "adapter-clip-proto_prompt":
             return build_ref_proto_model(kw["args"]), 32
+        if method == "continual-clip":
+            import models.continual_clip as ref_czs_model_mod
+            return ref_czs_model_mod.ContinualCLIP(model_name="tiny",
+                                                   device="cpu"), 32
         return ref_adapter_mod.AdapterCLIP(
             model_name="tiny", peft_method="lora",
             peft_encoder=peft_encoder, device=torch.device("cpu")), 32
@@ -941,11 +945,12 @@ def _run_reference_czs(ref_env):
     clip_stub.tokenize = ref_mc_clip.tokenize
 
     import methods.continual_clip as ref_czs_trainer  # noqa: E402
+    # shipped defects (same classes as mvp/maple): no .dtype on the
+    # wrapper (class-attr patch — custom_clip is only built inside
+    # run()); report_training/online_evaluate arity; 10-bin histogram
+    ref_czs_model_mod.ContinualCLIP.dtype = torch.float32
     tr = ref_czs_trainer.ContinualCLIP(**_czs_ref_kwargs(
         str(ref_env.tmp / "czs")))
-    # shipped defects (same classes as mvp/maple): no .dtype on the
-    # wrapper; report_training/online_evaluate arity; 10-bin histogram
-    tr.custom_clip.dtype = torch.float32
     tr.report_training = lambda *a, **k: None
     _orig_eval = tr.online_evaluate
     tr.online_evaluate = lambda loader, *a, **k: _orig_eval(loader)
