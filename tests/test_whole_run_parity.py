@@ -1272,8 +1272,16 @@ def _run_ours_proto(ref_env, monkeypatch, tmp_path):
     return np.asarray(accs, np.float64), np.asarray(losses)
 
 
-def test_proto_whole_run_trajectories_match(ref_env, monkeypatch,
-                                            tmp_path):
+# The proto run is the heaviest test in the suite (~46 min standalone:
+# reference torch ~31 min + ours ~14 min) and degrades BADLY when run in
+# the same process as 160 earlier tests (measured >100 min — accumulated
+# jit-cache/allocator state). The public test is a subprocess wrapper: a
+# fresh interpreter runs the _impl at standalone speed and in isolation.
+
+@pytest.mark.skipif(os.environ.get("LLC_PARITY_SUBPROC") != "1",
+                    reason="runs via the subprocess wrapper below")
+def test_proto_whole_run_trajectories_match_impl(ref_env, monkeypatch,
+                                                 tmp_path):
     import time
     t0 = time.time()
     ref_acc, ref_losses = _run_reference_proto(ref_env)
@@ -1306,3 +1314,16 @@ def test_proto_whole_run_trajectories_match(ref_env, monkeypatch,
     np.testing.assert_allclose(our_acc[:3], ref_acc[:3], atol=2.0)
     np.testing.assert_allclose(our_acc, ref_acc, atol=6.0)
     assert abs(our_acc.mean() - ref_acc.mean()) < 2.0, (our_acc, ref_acc)
+
+
+def test_proto_whole_run_trajectories_match():
+    import subprocess
+    env = dict(os.environ, LLC_PARITY_SUBPROC="1")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         os.path.abspath(__file__)
+         + "::test_proto_whole_run_trajectories_match_impl", "-x", "-q"],
+        env=env, capture_output=True, text=True, timeout=5400)
+    assert r.returncode == 0, \
+        "proto parity subprocess failed:\n" + r.stdout[-4000:] + \
+        r.stderr[-2000:]
