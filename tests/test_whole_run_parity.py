@@ -1327,3 +1327,7 @@ def test_proto_whole_run_trajectories_match():
     assert r.returncode == 0, \
         "proto parity subprocess failed:\n" + r.stdout[-4000:] + \
         r.stderr[-2000:]
+    # a skipped child (env gate not propagated) also exits 0 — require
+    # the test to have actually run
+    assert "1 passed" in r.stdout, \
+        "proto parity subprocess did not run the impl:\n" + r.stdout[-2000:]
