@@ -310,8 +310,11 @@ def ref_env(tmp_path_factory):
             import models.continual_clip as ref_czs_model_mod
             return ref_czs_model_mod.ContinualCLIP(model_name="tiny",
                                                    device="cpu"), 32
+        # adapter-clip / lora-clip both route to AdapterCLIP with the
+        # matching peft design (reference models/__init__.py:23-34)
         return ref_adapter_mod.AdapterCLIP(
-            model_name="tiny", peft_method="lora",
+            model_name="tiny",
+            peft_method="adapter" if method == "adapter-clip" else "lora",
             peft_encoder=peft_encoder, device=torch.device("cpu")), 32
 
     models_pkg.get_model = fake_get_model
@@ -387,8 +390,10 @@ def _det_pipeline(image_size, mean, std, **kw):
     return run
 
 
-def _run_reference(ref_env):
-    tr = ref_env.trainer_cls(**_ref_kwargs(str(ref_env.tmp)))
+def _run_reference(ref_env, method="lora-clip"):
+    kw = _ref_kwargs(str(ref_env.tmp / method))
+    kw["method"] = method
+    tr = ref_env.trainer_cls(**kw)
     losses = []
     orig_step = tr.online_step
 
@@ -404,7 +409,7 @@ def _run_reference(ref_env):
     return np.asarray(acc, np.float64), np.asarray(losses)
 
 
-def _run_ours(ref_env, monkeypatch, tmp_path):
+def _run_ours(ref_env, monkeypatch, tmp_path, peft="lora"):
     import torch
     import jax
     import jax.numpy as jnp
@@ -417,32 +422,50 @@ def _run_ours(ref_env, monkeypatch, tmp_path):
 
     # identical initial weights: the reference loader's state dict through
     # the converter
-    ref_model = ref_env.tiny_loader("tiny", design_details={
-        "method": "lora", "peft_encoder": "image",
-        "lora_alpha": 1, "lora_r": 4})
+    design = ({"method": "lora", "peft_encoder": "image",
+               "lora_alpha": 1, "lora_r": 4} if peft == "lora" else
+              {"method": "adapter", "peft_encoder": "image",
+               "ffn_num": 64})
+    ref_model = ref_env.tiny_loader("tiny", design_details=design)
     sd = {k: v.detach().float().numpy()
           for k, v in ref_model.state_dict().items()}
     ckpt = tmp_path / "tiny_ref.pt"
     torch.save(ref_model.state_dict(), str(ckpt))
 
-    # identical LoRA init (reference kaiming A / zero B)
     def stack(key):
         return np.stack([sd[f"visual.transformer.resblocks.{i}.{key}"]
                          for i in range(2)])
 
-    lora_tree = {"lora": {
-        "a_in": jnp.asarray(stack("attn.in_proj_weight_lora_A")
-                            .transpose(0, 2, 1)),
-        "b_in": jnp.asarray(stack("attn.in_proj_weight_lora_B")
-                            .transpose(0, 2, 1)),
-        "a_out": jnp.asarray(stack("attn.out_proj.lora_A")
-                             .transpose(0, 2, 1)),
-        "b_out": jnp.asarray(stack("attn.out_proj.lora_B")
-                             .transpose(0, 2, 1)),
-    }}
+    if peft == "lora":
+        # identical LoRA init (reference kaiming A / zero B)
+        peft_tree = {"lora": {
+            "a_in": jnp.asarray(stack("attn.in_proj_weight_lora_A")
+                                .transpose(0, 2, 1)),
+            "b_in": jnp.asarray(stack("attn.in_proj_weight_lora_B")
+                                .transpose(0, 2, 1)),
+            "a_out": jnp.asarray(stack("attn.out_proj.lora_A")
+                                 .transpose(0, 2, 1)),
+            "b_out": jnp.asarray(stack("attn.out_proj.lora_B")
+                                 .transpose(0, 2, 1)),
+        }}
+        peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4,
+                              lora_alpha=1)
+    else:
+        # identical serial-adapter init (reference kaiming down / ZERO up
+        # — the shipped init, trained for real by both runs)
+        peft_tree = {"adapter": {
+            "w_down": jnp.asarray(stack("adaptmlp.down_proj.weight")
+                                  .transpose(0, 2, 1)),
+            "b_down": jnp.asarray(stack("adaptmlp.down_proj.bias")),
+            "w_up": jnp.asarray(stack("adaptmlp.up_proj.weight")
+                                .transpose(0, 2, 1)),
+            "b_up": jnp.asarray(stack("adaptmlp.up_proj.bias")),
+        }}
+        peft_cfg = PEFTConfig(method="adapter", encoder="image",
+                              adapter_dim=64, adapter_scale=0.1)
     import lifelong_clip_tpu.methods.adapter_clip as ours_mod
     monkeypatch.setattr(ours_mod, "build_peft",
-                        lambda rng, ccfg, pcfg: {"vision": lora_tree,
+                        lambda rng, ccfg, pcfg: {"vision": peft_tree,
                                                  "text": None})
     # pin build_clip to the converted reference weights regardless of what
     # earlier tests left behind (test_engine._TinyMixin patches the symbol
@@ -497,13 +520,12 @@ def _run_ours(ref_env, monkeypatch, tmp_path):
     cfg = TrainConfig(
         # model_name is a placeholder preset: the real (tiny) architecture
         # is inferred from the checkpoint via pretrained_path
-        method="lora-clip", dataset="synthetic-20", model_name="ViT-B/16",
+        method="lora-clip" if peft == "lora" else "adapter-clip",
+        dataset="synthetic-20", model_name="ViT-B/16",
         pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
         online_iter=1, temp_batchsize=0, lr=LR, opt_name="adamw",
         sched_name="default", memory_size=0, eval_period=100000,
-        visible_classes="batch",
-        peft=PEFTConfig(method="lora", encoder="image", lora_r=4,
-                        lora_alpha=1),
+        visible_classes="batch", peft=peft_cfg,
         stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
                             seed=SEED),
         transforms=(), use_bf16=False, log_path=str(tmp_path),
@@ -545,6 +567,28 @@ def test_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
     # per-task accuracy trajectories (the reference's own quirky metric,
     # mirrored exactly on our side); fp32 drift can flip a borderline
     # prediction or two, hence the small absolute slack
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.01)
+
+
+def test_adapter_whole_run_trajectories_match(ref_env, monkeypatch,
+                                              tmp_path):
+    """Same trainer family, serial-adapter design (reference
+    models/__init__.py:23-27 routes adapter-clip to
+    AdapterCLIP(peft_method='adapter')): pins the down-ReLU-up adapter
+    math on attn+mlp through real training from the shipped zero-init
+    up projection."""
+    ref_acc, ref_losses = _run_reference(ref_env, method="adapter-clip")
+    our_acc, our_losses = _run_ours(ref_env, monkeypatch, tmp_path,
+                                    peft="adapter")
+
+    assert len(ref_losses) == len(our_losses)
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
     assert ref_acc.shape == our_acc.shape == (N_TASKS,)
     np.testing.assert_allclose(our_acc, ref_acc, atol=0.01)
 
