@@ -41,6 +41,16 @@ ITERS = 10
 EVAL_BATCHES = 16   # timed slice of the evaluate() sweep
 
 
+# method-behavior flags the reference launch scripts turn on (the class
+# defaults mirror the reference CLI defaults: all off) — bench the shipped
+# script configurations
+_METHOD_ATTRS = {
+    "mvp-clip": {"use_mask": True, "use_contrastiv": True},
+    "mvp": {"use_mask": True, "use_contrastiv": True,
+            "use_afs": True, "use_gsf": True},
+}
+
+
 def make_trainer(method: str, model: str):
     from lifelong_clip_tpu.config import StreamConfig, TrainConfig
     from lifelong_clip_tpu.methods import get_method
@@ -54,7 +64,10 @@ def make_trainer(method: str, model: str):
         stream=StreamConfig(n_tasks=2, n=50, m=10, seed=1),
         transforms=("cutmix", "autoaug"), use_bf16=True,
         log_path="/tmp/bench_results", seed=1)
-    tr = get_method(method)(cfg, synthetic_fallback=True)
+    cls = get_method(method)
+    if method in _METHOD_ATTRS:
+        cls = type(cls.__name__, (cls,), _METHOD_ATTRS[method])
+    tr = cls(cfg, synthetic_fallback=True)
     if hasattr(tr, "online_before_task"):
         tr.online_before_task(0)
     return tr

@@ -70,11 +70,17 @@ def mvp_scores(img_f, txt_f, y, cls_mask, class_mask, scale,
 
 class CLIP_MVP(OnlineTrainer):
 
-    use_mask = True
+    # flag defaults match the reference CLI (configuration/config.py:
+    # 96-100, all store_true -> False): the reference trainer reads every
+    # flag via kwargs.get (methods/mvp_clip.py:31-35) and overrides the
+    # MODEL defaults in setup_distributed_model, so the model-side
+    # defaults (use_mask=True etc.) never apply. scripts/mvp_clip.sh
+    # turns on mask+contrastiv (reference scripts/mvp_clip.sh:52).
+    use_mask = False
     use_contrastiv = False
     use_afs = False
     use_gsf = False
-    use_last_layer = True
+    use_last_layer = False
     alpha = 0.5
     gamma = 2.0
     margin = 0.5
@@ -238,7 +244,10 @@ class CLIP_MVP(OnlineTrainer):
 
 
 class CLIP_MVP_Full(CLIP_MVP):
-    """MVP with every bell on (mask + contrastive + AFS + GSF)."""
+    """MVP with every bell on (mask + contrastive + AFS + GSF) and the
+    full-depth query pass."""
+    use_mask = True
     use_contrastiv = True
     use_afs = True
     use_gsf = True
+    use_last_layer = True

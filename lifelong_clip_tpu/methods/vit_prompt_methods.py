@@ -239,23 +239,70 @@ class DualPrompt(OnlineTrainer):
                                 self._mask)
 
 
+def mvp_head_scores(feat, w, b, y, cls_mask, class_mask, use_mask: bool,
+                    margin: float):
+    """(ign_score, cps_score) per sample from the linear classifier head —
+    reference ``methods/mvp.py`` ``_compute_grads`` (:189-214) +
+    ``_get_ignore``/``_get_compensation`` (:216-226) in closed form.
+
+    The reference deep-copies the head and runs a backward per sample; for
+    logits ``z = (f @ W.T + b) * m + M`` (per-sample sigmoid mask ``m``,
+    exposure mask ``M``) the per-sample gradient of CE_i wrt head row c is
+    ``(p_ic - 1{c=y_i}) * m_ic * f_i``, so the whole loop collapses to one
+    softmax and two einsums. Unlike the CLIP variant (``mvp_scores``),
+    features and head rows are NOT normalized and the head bias enters the
+    softmax — exactly the reference head math."""
+    f = feat.astype(jnp.float32)
+    z = jnp.einsum("be,ec->bc", f, w.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) \
+        + b.astype(jnp.float32)
+    m = cls_mask.astype(jnp.float32)
+    if use_mask:
+        z = z * m
+    z = z + class_mask[None, :]
+    p = jax.nn.softmax(z, axis=-1)
+    onehot = jax.nn.one_hot(y, z.shape[1], dtype=jnp.float32)
+    coef = (p - onehot) * (m if use_mask else 1.0)          # (B, C)
+    ar = jnp.arange(y.shape[0])
+    sample_grad = coef[ar, y][:, None] * f                  # (B, E)
+    batch_grad = (jnp.einsum("bc,be->ce", coef, f,
+                             precision=jax.lax.Precision.HIGHEST)
+                  / y.shape[0])[y]                          # (B, E)
+
+    def cos(a, bb, eps=1e-8):
+        na = jnp.linalg.norm(a, axis=-1) + eps
+        nb = jnp.linalg.norm(bb, axis=-1) + eps
+        return jnp.sum(a * bb, axis=-1) / (na * nb)
+
+    ign_score = 1.0 - cos(sample_grad, batch_grad)
+    cps_score = 1.0 - cos(w.astype(jnp.float32).T[y], f) + margin
+    return jax.lax.stop_gradient(ign_score), \
+        jax.lax.stop_gradient(cps_score)
+
+
 class MVP(OnlineTrainer):
     """MVP on the ViT classifier (reference methods/mvp.py +
     models/mvp.py): the CLIP_MVP machinery with a trainable linear head in
-    place of text features; per-sample gradient scores computed against the
-    head's class vectors."""
+    place of text features; per-sample gradient scores from the head in
+    closed form (``mvp_head_scores``).
 
-    use_mask = True
+    Flag defaults match the reference CLI (configuration/config.py:96-100,
+    all store_true -> False; the trainer reads them via kwargs.get, so the
+    MODEL defaults never apply); scripts/mvp.sh turns on
+    mask+contrastiv+afs+gsf. The promptless query pass takes the raw block
+    output with NO final norm (models/mvp.py:188-191 — unlike CLIP_MVP)."""
+
+    use_mask = False
     use_contrastiv = False
     use_afs = False
     use_gsf = False
+    use_last_layer = False
     alpha = 0.5
     gamma = 2.0
     margin = 0.5
 
     def setup_model(self):
         from ..models.mvp_clip import init_mvp_params, mvp_features
-        from .mvp_clip import mvp_scores
         cfg = self.cfg
         self.params, self.clip_cfg = build_clip(
             cfg.model_name, cfg.pretrained_path, rng=self.next_rng())
@@ -286,6 +333,7 @@ class MVP(OnlineTrainer):
         clip_cfg, dt = self.clip_cfg, self.compute_dtype
         use_mask, use_afs = self.use_mask, self.use_afs
         use_gsf, use_contrastiv = self.use_gsf, self.use_contrastiv
+        use_last_layer = self.use_last_layer
         alpha, gamma, margin = self.alpha, self.gamma, self.margin
 
         def head_logits(trainable, img, cls_mask, class_mask):
@@ -303,14 +351,15 @@ class MVP(OnlineTrainer):
             def objective(trainable):
                 img, cls_mask, sim_loss, new_count, _ = mvp_features(
                     state.frozen, trainable, count, images, clip_cfg,
-                    use_contrastiv=use_contrastiv, train=True,
-                    compute_dtype=dt)
-                head_vecs = trainable["head"]["w"].T  # (C, E) class vectors
-                ign, cps = mvp_scores(
+                    use_contrastiv=use_contrastiv,
+                    use_last_layer=use_last_layer, train=True,
+                    query_ln=False, compute_dtype=dt)
+                ign, cps = mvp_head_scores(
                     jax.lax.stop_gradient(img),
-                    jax.lax.stop_gradient(head_vecs),
+                    jax.lax.stop_gradient(trainable["head"]["w"]),
+                    jax.lax.stop_gradient(trainable["head"]["b"]),
                     batch["labels"], jax.lax.stop_gradient(cls_mask),
-                    batch["mask"], jnp.asarray(1.0), use_mask, margin)
+                    batch["mask"], use_mask, margin)
                 img_used = img / cps[:, None].astype(img.dtype) \
                     if use_afs else img
                 logits = head_logits(trainable, img_used, cls_mask,
@@ -348,8 +397,9 @@ class MVP(OnlineTrainer):
                                      self.train_dataset.std)
             img, cls_mask, _, _, _ = mvp_features(
                 frozen, trainable, count, x.astype(dt), clip_cfg,
-                use_contrastiv=use_contrastiv, train=False,
-                compute_dtype=dt)
+                use_contrastiv=use_contrastiv,
+                use_last_layer=use_last_layer, train=False,
+                query_ln=False, compute_dtype=dt)
             return jnp.argmax(head_logits(trainable, img, cls_mask, mask),
                               axis=-1)
 

@@ -66,7 +66,13 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-_ACTS = {"quick_gelu": quick_gelu, "gelu": jax.nn.gelu}
+def _exact_gelu(x):
+    # timm/AugReg ViTs use torch nn.GELU (erf form); jax.nn.gelu defaults
+    # to the tanh approximation, which drifts ~1e-3 per op vs torch
+    return jax.nn.gelu(x, approximate=False)
+
+
+_ACTS = {"quick_gelu": quick_gelu, "gelu": _exact_gelu}
 
 
 def _adapter_apply(y, p, scale: float):
@@ -371,6 +377,8 @@ def encode_image(params,
     x = extract_patches(images.astype(compute_dtype), cfg.patch_size)
     x = jnp.einsum("bnp,pd->bnd", x, v["patch_kernel"],
                    preferred_element_type=jnp.float32, precision=_P).astype(compute_dtype)
+    if "patch_bias" in v:   # timm ViTs: conv proj has a bias (CLIP's not)
+        x = x + v["patch_bias"].astype(compute_dtype)
     cls = jnp.broadcast_to(v["class_embedding"],
                            (x.shape[0], 1, cfg.vision_width))
     x = jnp.concatenate([cls.astype(compute_dtype), x], axis=1)

@@ -187,9 +187,11 @@ def timm_vit_to_params(sd, cfg: CLIPConfig = None):
     patch = conv.shape[-1]
     if cfg is None:
         from ..config import CLIPConfig as _C
+        n_pos = sd["pos_embed"].shape[-2]    # 1 + grid**2
+        grid = int(round((n_pos - 1) ** 0.5))
         cfg = _C(embed_dim=width, vision_width=width, vision_layers=layers,
-                 vision_heads=width // 64, patch_size=patch, act="gelu",
-                 use_ln_pre=False)
+                 vision_heads=width // 64, patch_size=patch,
+                 image_size=grid * patch, act="gelu", use_ln_pre=False)
     blocks = {"ln_1": {"scale": [], "bias": []},
               "attn": {"w_qkv": [], "b_qkv": [], "w_out": [], "b_out": []},
               "ln_2": {"scale": [], "bias": []},
@@ -216,6 +218,10 @@ def timm_vit_to_params(sd, cfg: CLIPConfig = None):
     pos = pos[0] if pos.ndim == 3 else pos
     vision = {
         "patch_kernel": jnp.asarray(patch_kernel),
+        # timm's patch-embed conv has a bias (CLIP's conv1 is bias=False);
+        # consumed as an optional leaf by the vision preludes
+        **({"patch_bias": jnp.asarray(sd["patch_embed.proj.bias"])}
+           if "patch_embed.proj.bias" in sd else {}),
         "class_embedding": jnp.asarray(sd["cls_token"].reshape(-1)),
         "pos_embed": jnp.asarray(pos),
         # no ln_pre in timm ViTs: identity params keep the tree uniform

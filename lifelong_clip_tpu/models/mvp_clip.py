@@ -71,11 +71,18 @@ def _vit_prelude(frozen, images, cfg: CLIPConfig, compute_dtype):
     x = jnp.einsum("bnp,pd->bnd", x, v["patch_kernel"],
                    preferred_element_type=jnp.float32,
                    precision=_P).astype(compute_dtype)
+    if "patch_bias" in v:   # timm ViTs: conv proj has a bias (CLIP's not)
+        x = x + v["patch_bias"].astype(compute_dtype)
     cls = jnp.broadcast_to(v["class_embedding"],
                            (x.shape[0], 1, cfg.vision_width))
     x = jnp.concatenate([cls.astype(compute_dtype), x], axis=1)
     x = x + v["pos_embed"].astype(compute_dtype)
-    return clip_fns.layer_norm(x, v["ln_pre"]), v
+    if cfg.use_ln_pre:
+        # timm ViTs have no pre-transformer LN — and LayerNorm with
+        # identity affine params still normalizes, so this must be gated
+        # on the config, not neutralized through the params
+        x = clip_fns.layer_norm(x, v["ln_pre"])
+    return x, v
 
 
 def _layer_prompt_tensors(mvp, sel_e, batch: int, layers: int,
@@ -114,9 +121,16 @@ def mvp_features(frozen,
                  use_contrastiv: bool = False,
                  use_last_layer: bool = True,
                  train: bool = True,
+                 query_ln: bool = True,
                  compute_dtype=jnp.bfloat16):
     """Returns (image_feats, per-sample class mask, similarity_loss,
-    new_count, selected idx)."""
+    new_count, selected idx).
+
+    ``query_ln``: CLIP_MVP applies the tower's final LN to the query CLS
+    token (reference models/mvp_clip.py:218 ``ln_post(query[:, 0, :])``);
+    the ViT-classifier MVP does NOT (reference models/mvp.py:188-191 takes
+    the raw block output ``query[:, 0]`` with no ``backbone.norm``) — the
+    ViT trainer passes False."""
     x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
     b = x.shape[0]
 
@@ -126,8 +140,12 @@ def mvp_features(frozen,
     if not use_last_layer:
         q_blocks = jax.tree.map(lambda a: a[:-1], q_blocks)
     q = clip_fns.transformer(jax.lax.stop_gradient(q), q_blocks,
-                             cfg.vision_heads, base_grads=False)
-    query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
+                             cfg.vision_heads, act=cfg.act,
+                             base_grads=False)
+    if query_ln:
+        query = clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]
+    else:
+        query = q[:, 0]
     query = jax.lax.stop_gradient(query)
 
     # e-prompt selection (reference :224-254)
@@ -164,7 +182,8 @@ def mvp_features(frozen,
         mvp, sel_e, b, cfg.vision_layers, LEN_G, LEN_E, compute_dtype)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
                              layer_prompts=vals, layer_prompt_valid=valid,
-                             prompt_ln=True, base_grads=False)
+                             prompt_ln=True, act=cfg.act,
+                             base_grads=False)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     img = jnp.einsum("bd,de->be", pooled, v["proj"],
                      preferred_element_type=jnp.float32, precision=_P)

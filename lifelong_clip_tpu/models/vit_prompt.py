@@ -65,7 +65,8 @@ def vit_query(frozen, images, cfg: CLIPConfig, compute_dtype):
     from .mvp_clip import _vit_prelude
     x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
     q = clip_fns.transformer(jax.lax.stop_gradient(x), v["blocks"],
-                             cfg.vision_heads, base_grads=False)
+                             cfg.vision_heads, act=cfg.act,
+                             base_grads=False)
     return jax.lax.stop_gradient(
         clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]), x, v
 
@@ -85,7 +86,7 @@ def l2p_forward(frozen, trainable, images, cfg: CLIPConfig, *,
     sp = sp + v["pos_embed"][:1].astype(jnp.float32)  # + pos_embed[0]
     x = jnp.concatenate([x[:, :1], sp.astype(x.dtype), x[:, 1:]], axis=1)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
-                             base_grads=False)
+                             act=cfg.act, base_grads=False)
     h = clip_fns.layer_norm(h, v["ln_post"])
     pooled = h[:, 1:selection_size * prompt_len + 1].mean(axis=1)
     logits = jnp.einsum("bd,dc->bc", pooled.astype(jnp.float32),
@@ -135,7 +136,8 @@ def dualprompt_forward(frozen, trainable, images, cfg: CLIPConfig, *,
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
                              layer_prompts=vals,
                              layer_prompt_valid=jnp.asarray(valid),
-                             prompt_ln=True, base_grads=False)
+                             prompt_ln=True, act=cfg.act,
+                             base_grads=False)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     logits = jnp.einsum("bd,dc->bc", pooled.astype(jnp.float32),
                         trainable["head"]["w"], precision=_P) \

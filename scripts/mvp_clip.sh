@@ -8,6 +8,6 @@ for seed in "${SEEDS[@]}"; do
     --n_tasks 5 --n 50 --m 10 --rnd_NM \
     --model_name "ViT-B/16" --batchsize 64 --lr 5e-4 \
     --opt_name adamw --online_iter 3 --eval_period 1000 \
-    --use_mask --use_contrastiv --use_afs --use_gsf \
+    --use_mask --use_contrastiv \
     --seed "$seed" --rnd_seed "$seed"
 done

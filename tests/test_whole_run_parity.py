@@ -148,6 +148,128 @@ def _install_stubs():
         sys.modules["torchvision.models"] = tm
 
 
+def _install_timm_shim():
+    """timm is not installed here; the reference ViT-prompt models import
+    ``timm.models.create_model`` + registry/vision_transformer helpers at
+    module level (models/mvp.py:2-9, models/l2p.py:2-11,
+    models/dualprompt.py:2-9). The shim reimplements the timm-0.6.12
+    VisionTransformer attribute surface those models touch —
+    ``patch_embed / cls_token / pos_embed / pos_drop / blocks[n].{norm1,
+    attn.{qkv,num_heads,scale,proj,attn_drop,proj_drop}, ls1, drop_path1,
+    norm2, mlp.{fc1,act,fc2}, ls2, drop_path2} / norm / fc_norm / head /
+    embed_dim / num_features`` — at tiny scale (the registered
+    vit_base_patch16_224_l2p dims are ignored, exactly as the CLIP-family
+    harness serves tiny towers through the real loaders). ``create_model``
+    reseeds torch so repeated builds are bit-identical.
+
+    LayerNorm eps is pinned to 1e-5 (this repo's uniform tower eps); real
+    timm uses 1e-6 — an O(1e-6) relative LN difference, far below every
+    tolerance in this file — so the comparison isolates the METHOD logic,
+    not library constants."""
+    if "timm" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    class _ShimAttention(nn.Module):
+        def __init__(self, dim, num_heads):
+            super().__init__()
+            self.num_heads = num_heads
+            self.scale = (dim // num_heads) ** -0.5
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.attn_drop = nn.Dropout(0.0)
+            self.proj = nn.Linear(dim, dim)
+            self.proj_drop = nn.Dropout(0.0)
+
+        def forward(self, x):
+            b, n, c = x.shape
+            qkv = self.qkv(x).reshape(
+                b, n, 3, self.num_heads, c // self.num_heads).permute(
+                    2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * self.scale
+            attn = self.attn_drop(attn.softmax(dim=-1))
+            x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+            return self.proj_drop(self.proj(x))
+
+    class _ShimMlp(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, dim * 4)
+            self.act = nn.GELU()     # exact erf GELU (timm default)
+            self.fc2 = nn.Linear(dim * 4, dim)
+
+        def forward(self, x):
+            return self.fc2(self.act(self.fc1(x)))
+
+    class _ShimBlock(nn.Module):
+        def __init__(self, dim, num_heads):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim)     # eps: see shim docstring
+            self.attn = _ShimAttention(dim, num_heads)
+            self.ls1 = nn.Identity()
+            self.drop_path1 = nn.Identity()
+            self.norm2 = nn.LayerNorm(dim)
+            self.mlp = _ShimMlp(dim)
+            self.ls2 = nn.Identity()
+            self.drop_path2 = nn.Identity()
+
+        def forward(self, x):
+            x = x + self.drop_path1(self.ls1(self.attn(self.norm1(x))))
+            x = x + self.drop_path2(self.ls2(self.mlp(self.norm2(x))))
+            return x
+
+    class _ShimPatchEmbed(nn.Module):
+        def __init__(self, dim, patch):
+            super().__init__()
+            self.proj = nn.Conv2d(3, dim, kernel_size=patch, stride=patch)
+
+        def forward(self, x):
+            return self.proj(x).flatten(2).transpose(1, 2)
+
+    class _ShimViT(nn.Module):
+        def __init__(self, img_size=32, patch=8, dim=64, depth=4,
+                     num_heads=1, num_classes=N_CLASSES):
+            super().__init__()
+            n = (img_size // patch) ** 2
+            self.embed_dim = self.num_features = dim
+            self.patch_embed = _ShimPatchEmbed(dim, patch)
+            self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+            self.pos_embed = nn.Parameter(torch.randn(1, n + 1, dim) * 0.02)
+            self.pos_drop = nn.Dropout(0.0)
+            self.blocks = nn.Sequential(
+                *[_ShimBlock(dim, num_heads) for _ in range(depth)])
+            self.norm = nn.LayerNorm(dim)
+            self.fc_norm = nn.Identity()   # token pooling: fc_norm is
+            # Identity in timm's vit_base_patch16_224
+            self.head = nn.Linear(dim, num_classes)
+
+    def create_model(name=None, pretrained=False, num_classes=N_CLASSES,
+                     **kwargs):
+        torch.manual_seed(0)
+        return _ShimViT(num_classes=num_classes)
+
+    timm = types.ModuleType("timm")
+    timm_models = types.ModuleType("timm.models")
+    registry = types.ModuleType("timm.models.registry")
+    vit_mod = types.ModuleType("timm.models.vision_transformer")
+    registry.register_model = lambda fn: fn
+    vit_mod._cfg = lambda **kw: dict(kw)
+    vit_mod.default_cfgs = {}
+    vit_mod._create_vision_transformer = \
+        lambda name, pretrained=False, **kw: create_model(
+            name, pretrained, **kw)
+    timm_models.create_model = create_model
+    timm_models.registry = registry
+    timm_models.vision_transformer = vit_mod
+    timm.create_model = create_model
+    timm.models = timm_models
+    sys.modules["timm"] = timm
+    sys.modules["timm.models"] = timm_models
+    sys.modules["timm.models.registry"] = registry
+    sys.modules["timm.models.vision_transformer"] = vit_mod
+
+
 def _package(name: str, path: str):
     """Register a namespace package pointing at a reference directory
     WITHOUT executing its __init__.py (the real ones import timm etc.)."""
@@ -290,6 +412,19 @@ def ref_env(tmp_path_factory):
         return ref_maple_model_mod.MaPLe(model_name="tiny", n_ctx=3,
                                          device="cpu")
 
+    # tiny timm backbone for the ViT-prompt family (see _install_timm_shim)
+    _install_timm_shim()
+    import models.mvp as ref_vitmvp_model_mod  # noqa: E402
+
+    def build_ref_vitmvp_model():
+        # create_model reseeds torch to 0, so the key/mask/prompt draws
+        # that follow backbone construction are bit-identical per build
+        m = ref_vitmvp_model_mod.MVP(num_classes=N_CLASSES)
+        # in-harness patch for shipped defect #3 (PARITY.md): no model in
+        # the ViT family exposes `.dtype` but _trainer.py:283 reads it
+        m.dtype = torch.float32
+        return m
+
     import models.proto_clip as ref_proto_model_mod  # noqa: E402
 
     def build_ref_proto_model(args):
@@ -306,6 +441,8 @@ def ref_env(tmp_path_factory):
             return build_ref_maple_model(), 32
         if method == "adapter-clip-proto_prompt":
             return build_ref_proto_model(kw["args"]), 32
+        if method == "mvp":
+            return build_ref_vitmvp_model(), 32
         if method == "continual-clip":
             import models.continual_clip as ref_czs_model_mod
             return ref_czs_model_mod.ContinualCLIP(model_name="tiny",
@@ -324,6 +461,7 @@ def ref_env(tmp_path_factory):
     import methods.mvp_clip as ref_mvp_trainer  # noqa: E402
     import methods.maple as ref_maple_trainer  # noqa: E402
     import methods.Trainer_ProtoCLIP as ref_proto_trainer  # noqa: E402
+    import methods.mvp as ref_vitmvp_trainer  # noqa: E402
 
     # CPU DataParallel so online_step's `.module` works (the nohup.out
     # crash in the reference comes from the missing wrap on 1 GPU).
@@ -345,6 +483,8 @@ def ref_env(tmp_path_factory):
         mvp_trainer_cls=ref_mvp_trainer.CLIP_MVP,
         maple_trainer_cls=ref_maple_trainer.MaPLe,
         proto_trainer_cls=ref_proto_trainer.Trainer_ProtoCLIP,
+        vitmvp_trainer_cls=ref_vitmvp_trainer.MVP,
+        build_ref_vitmvp_model=build_ref_vitmvp_model,
         build_ref_mvp_model=build_ref_mvp_model,
         build_ref_maple_model=build_ref_maple_model,
         build_ref_proto_model=build_ref_proto_model,
@@ -1375,3 +1515,194 @@ def test_proto_whole_run_trajectories_match():
     # the test to have actually run
     assert "1 passed" in r.stdout, \
         "proto parity subprocess did not run the impl:\n" + r.stdout[-2000:]
+
+
+# ==========================================================================
+# mvp (ViT classifier): whole-run parity for the timm-backbone family
+# ==========================================================================
+#
+# The reference's methods/mvp.py is the ONLY registered trainer over the
+# timm ViT backbones (l2p/dualprompt have models but no main.py/methods
+# entry). timm itself is not installed here; _install_timm_shim serves a
+# faithful tiny timm-0.6.12 VisionTransformer through the real
+# models/mvp.py. Shipped defects patched in-harness (same classes as the
+# mvp-clip family, PARITY.md #3-#6): no `.dtype` attribute,
+# memory_batchsize=0 -> DataLoader(batch_size=0) raise, world_size =
+# cuda.device_count() = 0, report_training arity (mvp.py:253 takes 3,
+# _trainer.py:350 passes 4), online_evaluate arity, and the 10-bin
+# _interpret_pred histogram (crashes at n_classes=20).
+#
+# Config: scripts/mvp.sh flags (mask + contrastiv + afs + gsf;
+# use_last_layer stays at its CLI default False, so the query pass skips
+# the final block — models/mvp.py:188-189).
+
+def _vitmvp_ref_kwargs(log_path: str):
+    kw = _ref_kwargs(log_path)
+    kw.update(method="mvp", opt_name="adam", use_mask=True,
+              use_contrastiv=True, use_afs=True, use_gsf=True,
+              use_last_layer=False, alpha=0.5, gamma=2.0, margin=0.5,
+              temp_batchsize=None)
+    return kw
+
+
+def _run_reference_vitmvp(ref_env):
+    import methods.mvp as ref_vitmvp_trainer_mod
+    _patch_memory_loader_workers(ref_vitmvp_trainer_mod)
+    tr = ref_env.vitmvp_trainer_cls(**_vitmvp_ref_kwargs(
+        str(ref_env.tmp / "vitmvp")))
+    tr.memory_batchsize = 1  # in-harness patch for shipped defect #4
+    tr.world_size = 1        # cuda.device_count() = 0 on this host
+    # shipped defect #7 (PARITY.md): methods/mvp.py reads
+    # self.model_without_ddp in model_forward/_compute_grads/loss_fn/
+    # setup_distributed_model (:115,190,238,265) but NOTHING in the
+    # snapshot ever assigns it (`grep -rn "model_without_ddp ="` is
+    # empty) — the trainer was carried from the MVP paper codebase whose
+    # _Trainer bound it. Bind the evidently intended object (the model
+    # sans DataParallel wrapper) before the override's attribute pokes.
+    _orig_sdm = tr.setup_distributed_model
+
+    def _sdm_with_binding():
+        tr.model_without_ddp = tr.custom_clip
+        _orig_sdm()
+
+    tr.setup_distributed_model = _sdm_with_binding
+    # arity defects (#5): _trainer.run passes one more argument than the
+    # mvp overrides take — logging-only, stubbed / adapted
+    tr.report_training = lambda *a, **k: None
+    _orig_eval = tr.online_evaluate
+    tr.online_evaluate = lambda loader, *a, **k: _orig_eval(loader)
+
+    def fixed_interpret(y, pred):  # defect #6: size-correct histogram
+        import torch
+        cnt = torch.zeros(tr.n_classes)
+        correct = torch.zeros(tr.n_classes)
+        for c in y.unique():
+            m = y == c
+            cnt[c] = m.sum()
+            correct[c] = (pred[m] == c).sum()
+        return cnt, correct
+
+    tr._interpret_pred = fixed_interpret
+    losses = []
+    orig_step = tr.online_step
+
+    def record_step(images, labels, idx):
+        loss, acc = orig_step(images, labels, idx)
+        losses.append(float(loss))
+        return loss, acc
+
+    tr.online_step = record_step
+    tr.run()
+    acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
+    return np.asarray(acc, np.float64), np.asarray(losses)
+
+
+def _run_ours_vitmvp(ref_env, monkeypatch, tmp_path):
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import TrainConfig, PEFTConfig, \
+        StreamConfig
+    import lifelong_clip_tpu.methods.vit_prompt_methods as ours_vp_mod
+    import lifelong_clip_tpu.models.mvp_clip as ours_mvp_model_mod
+    from lifelong_clip_tpu.methods.engine import TrainState
+    from lifelong_clip_tpu.models.convert import timm_vit_to_params
+    from lifelong_clip_tpu.ops import preprocess as prep
+
+    # bit-identical weights: backbone state dict through the timm
+    # converter (incl. the patch-embed conv BIAS timm has and CLIP lacks),
+    # prompt pools / keys / masks / head copied leaf-for-leaf
+    ref_m = ref_env.build_ref_vitmvp_model()
+    sd = {k: v.detach().float().numpy()
+          for k, v in ref_m.backbone.state_dict().items()}
+    params, timm_cfg, head = timm_vit_to_params(sd)
+    mvp_tree = {
+        "key": jnp.asarray(ref_m.key.detach().numpy()),
+        "mask": jnp.asarray(ref_m.mask.detach().numpy()),
+        "g_prompts": jnp.asarray(ref_m.g_prompts.detach().numpy()),
+        "e_prompts": jnp.asarray(ref_m.e_prompts.detach().numpy()),
+    }
+    monkeypatch.setattr(ours_vp_mod, "build_clip",
+                        lambda *a, **k: (params, timm_cfg))
+    monkeypatch.setattr(ours_mvp_model_mod, "init_mvp_params",
+                        lambda *a, **k: mvp_tree)
+    monkeypatch.setattr(prep, "make_train_pipeline", _det_pipeline)
+
+    accs, losses = [], []
+
+    class ParityVitMVP(ours_vp_mod.MVP):
+        # scripts/mvp.sh flag set (class defaults mirror the all-off
+        # reference CLI defaults)
+        use_mask = True
+        use_contrastiv = True
+        use_afs = True
+        use_gsf = True
+        use_last_layer = False
+
+        def setup_model(self):
+            super().setup_model()
+            tr_tree = dict(self.state.trainable)
+            tr_tree["head"] = {"w": jnp.asarray(head["w"]),
+                               "b": jnp.asarray(head["b"])}
+            self.state = TrainState.create(trainable=tr_tree,
+                                           frozen=self.state.frozen,
+                                           tx=self.tx, rng=self.state.rng)
+
+        def online_step(self, images, labels, indices):
+            # the reference trains the raw tail batch (no padding)
+            cfg = self.cfg
+            batch = {"images": jnp.asarray(images),
+                     "labels": jnp.asarray(self.vocab.remap(labels),
+                                           jnp.int32),
+                     "mask": jnp.asarray(self.vocab.logit_mask())}
+            stats = {}
+            for _ in range(max(int(cfg.online_iter), 1)):
+                self.state, self.count, stats = self._step(
+                    self.state, batch, self.count)
+            losses.append(float(stats["loss"]))
+            return stats
+
+        def online_after_task(self, task_id):
+            super().online_after_task(task_id)
+            # reference task-end eval: exposed-class test samples against
+            # exposure-ordered head slots — this repo's evaluate() exactly
+            correct, total = self.evaluate()
+            accs.append(correct.sum() / max(total.sum(), 1))
+
+    cfg = TrainConfig(
+        method="mvp", dataset="synthetic-20",
+        model_name="vit_base_patch16_224",  # placeholder: build_clip is
+        # pinned to the converted tiny backbone above
+        batchsize=BATCH, test_batchsize=32, online_iter=1,
+        temp_batchsize=0, lr=LR, opt_name="adam", sched_name="const",
+        memory_size=0, eval_period=100000, visible_classes="batch",
+        peft=PEFTConfig(method="mvp"),
+        stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
+                            seed=SEED),
+        transforms=(), use_bf16=False, log_path=str(tmp_path), seed=SEED)
+
+    tr = ParityVitMVP(cfg, train_dataset=ref_env.ds_train,
+                      test_dataset=ref_env.ds_test)
+    tr.run()
+    return np.asarray(accs, np.float64), np.asarray(losses)
+
+
+def test_vitmvp_whole_run_trajectories_match(ref_env, monkeypatch,
+                                             tmp_path):
+    ref_acc, ref_losses = _run_reference_vitmvp(ref_env)
+    our_acc, our_losses = _run_ours_vitmvp(ref_env, monkeypatch, tmp_path)
+
+    assert len(ref_losses) == len(our_losses), \
+        "step counts differ: stream/batching diverged"
+    # step 0 pins the timm converter (patch bias, exact GELU), the
+    # no-final-norm query pass, prompt selection + injection through the
+    # masked KV-prefix scan, the contrastive cross-term loss, and the
+    # closed-form head-gradient ign/cps scores vs the reference's
+    # deepcopy-head backward-in-a-loop
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
+
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.02)
