@@ -2,10 +2,18 @@
 
 Parity target: reference ``methods/lwf.py`` — the old model is snapshotted
 once at the END of every online step, after its ``online_iter`` train
-iterations (``online_step():50-51``), and training adds a temperature-2 KD
-term over the previously-seen class slots (``_KD_loss():112-115``). Here
-the "old model" is just the previous trainable pytree; the KD term rides
-inside the same jitted step (no second module, no ``no_grad`` bookkeeping).
+iterations (``online_step():50-51``); until the first snapshot exists no
+KD term is applied (``model_forward():150``); training then adds
+``kd_hp=0.2`` times a temperature-2 KD term (``_KD_loss():112-115``).
+
+Faithful quirks: the KD runs over the RAW logits of both models — no
+exposure mask is added to either side (``model_forward():147-153`` uses
+``ori_logit`` and ``old_logit``), and the ``[:, :len(self.old_mask)]``
+slice is the FULL width (``old_mask`` is the whole n_classes mask tensor,
+so ``len`` returns n_classes, not the previously-seen count). Here the
+"old model" is just the previous trainable pytree; the KD term rides
+inside the same jitted step (no second module, no ``no_grad``
+bookkeeping).
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from .er_baseline import ER, head_forward
 class LwF(ER):
 
     kd_temperature = 2.0
+    kd_hp = 0.2   # reference lwf.py:26
 
     def setup_model(self):
         super().setup_model()
@@ -37,26 +46,28 @@ class LwF(ER):
             use_autoaug="autoaug" in self.cfg.transforms,
             out_dtype=self.compute_dtype)
         tau = self.kd_temperature
+        kd_hp = self.kd_hp
 
-        def kd_step(state: TrainState, batch, old_trainable, old_mask):
+        def kd_step(state: TrainState, batch, old_trainable):
             rng, aug_rng = jax.random.split(state.rng)
             images = pipeline(aug_rng, batch["images"])
+            # the reference distills from the old model's RAW logits — no
+            # exposure mask on either side (lwf.py:147-153)
             old_logits, _, _ = fwd(state.frozen, old_trainable, images,
                                    None)
-            old_logits = old_logits + old_mask[None, :]
 
             def objective(trainable):
-                logits, _, _ = fwd(state.frozen, trainable, images, None)
-                logits = logits + batch["mask"][None, :]
+                raw, _, _ = fwd(state.frozen, trainable, images, None)
+                logits = raw + batch["mask"][None, :]
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, batch["labels"]).mean()
-                # KD over previously-exposed slots (reference lwf.py:112-115)
-                log_p = jax.nn.log_softmax(logits / tau, axis=-1)
+                # KD over the full logit width: the reference's
+                # [:, :len(old_mask)] slice is the whole n_classes mask
+                # tensor, not the previously-seen count (lwf.py:152-153)
+                log_p = jax.nn.log_softmax(raw / tau, axis=-1)
                 q = jax.nn.softmax(old_logits / tau, axis=-1)
-                valid = jnp.isfinite(old_mask)
-                kd = -jnp.sum(jnp.where(valid[None, :], q * log_p, 0.0),
-                              axis=-1).mean()
-                loss = ce + kd
+                kd = -jnp.sum(q * log_p, axis=-1).mean()
+                loss = ce + kd_hp * kd
                 acc = jnp.mean((jnp.argmax(logits, -1) ==
                                 batch["labels"]).astype(jnp.float32))
                 return loss, acc
@@ -72,7 +83,6 @@ class LwF(ER):
 
         self._kd_step = jax.jit(kd_step)
         self._old_trainable = None
-        self._old_mask = None
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
@@ -81,20 +91,21 @@ class LwF(ER):
         y = self.vocab.remap(labels)
         batch = {"images": jnp.asarray(images),
                  "labels": jnp.asarray(y, jnp.int32),
+                 "tokens": self._dummy_tokens,
                  "mask": jnp.asarray(self.vocab.logit_mask())}
         stats = {}
-        if self._old_trainable is None:
-            # first step: distill from self (KD term = const offset)
-            self._old_trainable = self.state.trainable
-            self._old_mask = batch["mask"]
-        old = (self._old_trainable, self._old_mask)
         for _ in range(max(int(cfg.online_iter), 1)):
-            self.state, stats = self._kd_step(self.state, batch, *old)
+            if self._old_trainable is None:
+                # no snapshot yet: plain CE step (reference lwf.py:150 —
+                # no KD term until old_model exists)
+                self.state, stats = self._train_step(self.state, batch)
+            else:
+                self.state, stats = self._kd_step(self.state, batch,
+                                                  self._old_trainable)
         # snapshot once per online_step AFTER its online_iter loop — the
         # reference deep-copies the model at the end of online_step
         # (lwf.py:50-51), so every iteration of the NEXT step distills
         # from this post-step model
         self._old_trainable = self.state.trainable
-        self._old_mask = batch["mask"]
         self.update_memory(indices, labels[:len(indices)])
         return stats

@@ -433,6 +433,35 @@ def ref_env(tmp_path_factory):
         # follow are the same on every call
         return ref_proto_model_mod.CUSTOM_CLIP(args, torch.device("cpu"))
 
+    # ER-family classifier: the reference registry has NO model branch for
+    # er/clib/rm/lwf/Finetuning/ewc++ (models/__init__.py:40-42 raises —
+    # PARITY.md "Second reference defect"), so whole-run parity against
+    # the SHIPPED model is impossible. Supplying this repo's documented
+    # design decision (CLIP vision tower + linear head over normalized
+    # features, methods/er_baseline.py) identically to BOTH trainers pins
+    # the TRAINER math — masking, CE, optimizer, scheduler, KD, memory
+    # and eval quirks — with the model shared by construction.
+    class _RefHeadClassifier(torch.nn.Module):
+        def __init__(self, clip_model, num_classes, train_backbone):
+            super().__init__()
+            self.backbone = clip_model
+            for p in self.backbone.parameters():
+                p.requires_grad = train_backbone
+            self.head = torch.nn.Linear(
+                self.backbone.text_projection.shape[1], num_classes)
+            self.dtype = torch.float32   # defect #3: _trainer reads it
+
+        def forward(self, x):
+            f = self.backbone.encode_image(x).float()
+            f = f / (f.norm(dim=-1, keepdim=True) + 1e-8)
+            return self.head(f)
+
+    def build_ref_head_model(train_backbone=False):
+        # tiny_loader reseeds torch, so the head draw that follows is
+        # bit-identical per build
+        clip_m = tiny_loader("tiny", design_details={})
+        return _RefHeadClassifier(clip_m, N_CLASSES, train_backbone)
+
     def fake_get_model(model_name=None, method=None, peft_encoder="image",
                        **kw):
         if method == "mvp-clip":
@@ -443,6 +472,10 @@ def ref_env(tmp_path_factory):
             return build_ref_proto_model(kw["args"]), 32
         if method == "mvp":
             return build_ref_vitmvp_model(), 32
+        if method in ("er", "lwf"):
+            return build_ref_head_model(train_backbone=False), 32
+        if method == "Finetuning":
+            return build_ref_head_model(train_backbone=True), 32
         if method == "continual-clip":
             import models.continual_clip as ref_czs_model_mod
             return ref_czs_model_mod.ContinualCLIP(model_name="tiny",
@@ -462,6 +495,9 @@ def ref_env(tmp_path_factory):
     import methods.maple as ref_maple_trainer  # noqa: E402
     import methods.Trainer_ProtoCLIP as ref_proto_trainer  # noqa: E402
     import methods.mvp as ref_vitmvp_trainer  # noqa: E402
+    import methods.er_baseline as ref_er_trainer  # noqa: E402
+    import methods.finetuning as ref_ft_trainer  # noqa: E402
+    import methods.lwf as ref_lwf_trainer  # noqa: E402
 
     # CPU DataParallel so online_step's `.module` works (the nohup.out
     # crash in the reference comes from the missing wrap on 1 GPU).
@@ -485,6 +521,10 @@ def ref_env(tmp_path_factory):
         proto_trainer_cls=ref_proto_trainer.Trainer_ProtoCLIP,
         vitmvp_trainer_cls=ref_vitmvp_trainer.MVP,
         build_ref_vitmvp_model=build_ref_vitmvp_model,
+        er_trainer_cls=ref_er_trainer.ER,
+        ft_trainer_cls=ref_ft_trainer.FT,
+        lwf_trainer_cls=ref_lwf_trainer.LwF,
+        build_ref_head_model=build_ref_head_model,
         build_ref_mvp_model=build_ref_mvp_model,
         build_ref_maple_model=build_ref_maple_model,
         build_ref_proto_model=build_ref_proto_model,
@@ -1706,3 +1746,199 @@ def test_vitmvp_whole_run_trajectories_match(ref_env, monkeypatch,
 
     assert ref_acc.shape == our_acc.shape == (N_TASKS,)
     np.testing.assert_allclose(our_acc, ref_acc, atol=0.02)
+
+
+# ==========================================================================
+# ER family (er / Finetuning / lwf): whole-run parity with an
+# in-harness model
+# ==========================================================================
+#
+# The shipped reference cannot build a model for ANY of its six ER-family
+# methods (models/__init__.py has no branch — PARITY.md "Second reference
+# defect"), so these runs supply the _RefHeadClassifier (this repo's
+# documented ER-family design) to BOTH trainers and pin the trainer math.
+# In-harness patches beyond the model (all shipped defects): `self.mask`
+# is never initialized anywhere (er_baseline.py:138 reads it; lwf.py:69
+# updates it; nothing creates it) — initialized to -inf with the
+# exposure-slot zeroing every runnable family applies (lwf.py:69,
+# mvp_clip setup_dataset); memory_batchsize=0 -> DataLoader(batch_size=0)
+# raise in ER's per-step sampler; world_size = cuda.device_count() = 0;
+# online_evaluate arity; the zeros(10) _interpret_pred histogram.
+# Configs use adam (weight_decay=0): with adamw, torch skips params whose
+# .grad is None (the never-touched text tower in the shared CLIP), while
+# optax would still weight-decay their zero-grad leaves — adam keeps the
+# two optimizer semantics identical for unused parameters.
+
+def _erfam_ref_kwargs(log_path: str, method: str):
+    kw = _ref_kwargs(log_path)
+    # temp_batchsize drives only FT's iteration count
+    # (online_iter * temp_batchsize * world_size, finetuning.py:25) and
+    # ER's unread memory-sampler length; 1 keeps one train call per
+    # online_iter on both sides
+    kw.update(method=method, opt_name="adam", temp_batchsize=1)
+    return kw
+
+
+def _run_reference_erfam(ref_env, method: str):
+    import torch
+    import methods.er_baseline as ref_er_mod
+    _patch_memory_loader_workers(ref_er_mod)
+    cls = {"er": ref_env.er_trainer_cls,
+           "Finetuning": ref_env.ft_trainer_cls,
+           "lwf": ref_env.lwf_trainer_cls}[method]
+    tr = cls(**_erfam_ref_kwargs(str(ref_env.tmp / f"erfam_{method}"),
+                                 method))
+    tr.memory_batchsize = 1  # defect #4 (ER's per-step DataLoader)
+    tr.world_size = 1
+    # shipped defect: self.mask is read (er_baseline.py:138/145/166) and
+    # updated (lwf.py:69) but never CREATED for this family; initialize
+    # the -inf exposure mask exactly as the runnable families do, and for
+    # er/Finetuning (whose add_new_class has no mask update) apply the
+    # lwf.py:69 exposure zeroing after each add_new_class
+    tr.mask = torch.zeros(N_CLASSES) - torch.inf
+    if method != "lwf":
+        _orig_anc = tr.add_new_class
+
+        def _anc_with_mask(class_name):
+            _orig_anc(class_name)
+            tr.mask[:len(tr.exposed_classes)] = 0.0
+
+        tr.add_new_class = _anc_with_mask
+    _orig_eval = tr.online_evaluate
+    tr.online_evaluate = lambda loader, *a, **k: _orig_eval(loader)
+
+    def fixed_interpret(y, pred):
+        cnt = torch.zeros(tr.n_classes)
+        correct = torch.zeros(tr.n_classes)
+        for c in y.unique():
+            m = y == c
+            cnt[c] = m.sum()
+            correct[c] = (pred[m] == c).sum()
+        return cnt, correct
+
+    tr._interpret_pred = fixed_interpret
+    losses = []
+    orig_step = tr.online_step
+
+    def record_step(images, labels, idx):
+        loss, acc = orig_step(images, labels, idx)
+        losses.append(float(loss))
+        return loss, acc
+
+    tr.online_step = record_step
+    tr.run()
+    acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
+    return np.asarray(acc, np.float64), np.asarray(losses)
+
+
+def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
+    import torch
+    import jax.numpy as jnp
+    from lifelong_clip_tpu.config import TrainConfig, PEFTConfig, \
+        StreamConfig
+    import lifelong_clip_tpu.methods.er_baseline as ours_er_mod
+    import lifelong_clip_tpu.methods.lwf as ours_lwf_mod
+    from lifelong_clip_tpu.methods.engine import TrainState
+    from lifelong_clip_tpu.models.convert import load_clip_params
+    from lifelong_clip_tpu.ops import preprocess as prep
+
+    ref_m = ref_env.build_ref_head_model(
+        train_backbone=(method == "Finetuning"))
+    ckpt = tmp_path / f"tiny_head_{method}.pt"
+    torch.save(ref_m.backbone.state_dict(), str(ckpt))
+    head_w = jnp.asarray(ref_m.head.weight.detach().numpy().T)
+    head_b = jnp.asarray(ref_m.head.bias.detach().numpy())
+
+    monkeypatch.setattr(ours_er_mod, "build_clip",
+                        lambda *a, **k: load_clip_params(str(ckpt)))
+    monkeypatch.setattr(prep, "make_train_pipeline", _det_pipeline)
+
+    base_cls = {"er": ours_er_mod.ER, "Finetuning": ours_er_mod.FT,
+                "lwf": ours_lwf_mod.LwF}[method]
+    accs, losses = [], []
+
+    class ParityER(base_cls):
+        def setup_model(self):
+            super().setup_model()
+            tr_tree = dict(self.state.trainable)
+            tr_tree["head"] = {"w": head_w, "b": head_b}
+            self.state = TrainState.create(trainable=tr_tree,
+                                           frozen=self.state.frozen,
+                                           tx=self.tx, rng=self.state.rng)
+
+        def online_step(self, images, labels, indices):
+            # raw tail batches, memory path inert at memory_size=0
+            cfg = self.cfg
+            batch = {"images": jnp.asarray(images),
+                     "labels": jnp.asarray(self.vocab.remap(labels),
+                                           jnp.int32),
+                     "tokens": self._dummy_tokens,
+                     "mask": jnp.asarray(self.vocab.logit_mask())}
+            stats = {}
+            for _ in range(max(int(cfg.online_iter), 1)):
+                if method == "lwf" and self._old_trainable is not None:
+                    self.state, stats = self._kd_step(
+                        self.state, batch, self._old_trainable)
+                else:
+                    self.state, stats = self._train_step(self.state, batch)
+            if method == "lwf":
+                self._old_trainable = self.state.trainable
+            losses.append(float(stats["loss"]))
+            return stats
+
+        def online_after_task(self, task_id):
+            super().online_after_task(task_id)
+            correct, total = self.evaluate()
+            accs.append(correct.sum() / max(total.sum(), 1))
+
+    cfg = TrainConfig(
+        method="er", dataset="synthetic-20", model_name="ViT-B/16",
+        pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
+        online_iter=1, temp_batchsize=0, lr=LR, opt_name="adam",
+        sched_name="const", memory_size=0, eval_period=100000,
+        visible_classes="batch", peft=PEFTConfig(method="none"),
+        stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
+                            seed=SEED),
+        transforms=(), use_bf16=False, log_path=str(tmp_path), seed=SEED)
+
+    tr = ParityER(cfg, train_dataset=ref_env.ds_train,
+                  test_dataset=ref_env.ds_test)
+    tr.run()
+    return np.asarray(accs, np.float64), np.asarray(losses)
+
+
+def _assert_erfam_match(ref, ours):
+    ref_acc, ref_losses = ref
+    our_acc, our_losses = ours
+    assert len(ref_losses) == len(our_losses), \
+        "step counts differ: stream/batching diverged"
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.02)
+
+
+def test_er_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    _assert_erfam_match(_run_reference_erfam(ref_env, "er"),
+                        _run_ours_erfam(ref_env, monkeypatch, tmp_path,
+                                        "er"))
+
+
+def test_ft_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    """Pins base_grads=True full-tower training against torch autograd
+    over the same weights."""
+    _assert_erfam_match(_run_reference_erfam(ref_env, "Finetuning"),
+                        _run_ours_erfam(ref_env, monkeypatch, tmp_path,
+                                        "Finetuning"))
+
+
+def test_lwf_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    """Pins the KD composition: no KD before the first snapshot, raw-logit
+    full-width T=2 distillation, kd_hp=0.2, once-per-step snapshot."""
+    _assert_erfam_match(_run_reference_erfam(ref_env, "lwf"),
+                        _run_ours_erfam(ref_env, monkeypatch, tmp_path,
+                                        "lwf"))
