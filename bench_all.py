@@ -113,19 +113,29 @@ def bench_eval(tr, method: str, model: str):
     images, _ = tr.test_dataset.gather(idx[:BATCH])
     np.asarray(tr.predict(images))                     # compile
     n = min(EVAL_BATCHES * BATCH, len(idx) - len(idx) % BATCH)
+    # mirrors OnlineTrainer.evaluate(): grouped fetches — dispatch races
+    # ahead, predictions come back stacked once per GROUP_N batches with
+    # a one-group lookahead (compile the stack op outside the timed loop)
+    import jax.numpy as jnp
+    GROUP_N = 8
+    warm = [tr.predict(images) for _ in range(GROUP_N)]
+    np.asarray(jnp.stack(warm))                        # compile stack
     t0 = time.perf_counter()
     done = 0
-    pending = None
-    # mirrors OnlineTrainer.evaluate(): one-batch lookahead, the host
-    # fetch of batch i overlaps batch i+1's gather + device execution
+    groups, cur = [], []
     for lo in range(0, n, BATCH):
         images, _ = tr.test_dataset.gather(idx[lo:lo + BATCH])
-        preds = tr.predict(images)
-        if pending is not None:
-            np.asarray(pending)                        # honest host fetch
-        pending = preds
+        cur.append(tr.predict(images))
         done += BATCH
-    np.asarray(pending)
+        if len(cur) == GROUP_N:
+            groups.append(cur)
+            cur = []
+            if len(groups) == 2:
+                np.asarray(jnp.stack(groups.pop(0)))   # honest host fetch
+    for g in groups:
+        np.asarray(jnp.stack(g))
+    for p in cur:
+        np.asarray(p)
     dt = time.perf_counter() - t0
     _row(f"{method}_eval", model, dt / (done // BATCH) * 1e3,
          f"ms/eval-batch (bs={BATCH}, {model}, real predict loop incl. "

@@ -182,32 +182,54 @@ class OnlineTrainer:
         all_labels, all_preds = [], []
         exposed = np.asarray(self.vocab.exposed)
 
-        def consume(preds_dev, labels, n):
-            preds_slot = np.asarray(preds_dev)[:n]     # host fetch
-            # slot ids -> global class ids
-            preds = exposed[np.clip(preds_slot, 0, len(exposed) - 1)]
-            c, t = per_class_counts(preds, labels, self.n_classes)
-            correct[:] += c
-            total[:] += t
-            all_labels.append(labels)
-            all_preds.append(preds)
+        # fully pipelined sweep: predict() returns un-fetched device
+        # arrays, so the host races ahead gathering + dispatching every
+        # batch; predictions come back in fixed-size stacked groups so
+        # the ~25 ms tunnel round trip is paid once per GROUP_N batches,
+        # not once per batch (the group size is static so the stack op
+        # compiles exactly once)
+        import jax.numpy as jnp
+        GROUP_N = 8
 
-        # one-batch lookahead: predict() returns an un-fetched device
-        # array, so batch i+1's gather + dispatch overlap batch i's
-        # in-flight execution and ~25 ms tunnel fetch
-        pending = None
+        def consume(group):
+            if len(group) == GROUP_N:
+                rows = np.asarray(jnp.stack([p for p, _, _ in group]))
+            else:  # tail: per-batch fetches
+                rows = [np.asarray(p) for p, _, _ in group]
+            for (_, labels, n), row in zip(group, rows):
+                preds_slot = row[:n]
+                # slot ids -> global class ids
+                preds = exposed[np.clip(preds_slot, 0, len(exposed) - 1)]
+                c, t = per_class_counts(preds, labels, self.n_classes)
+                correct[:] += c
+                total[:] += t
+                all_labels.append(labels)
+                all_preds.append(preds)
+
+        # one-GROUP lookahead: group k is fetched only after group k+1 is
+        # fully dispatched, so the device keeps executing through the
+        # fetch round trip
+        groups, cur = [], []
         for lo in range(0, len(idx), bs):
             chunk = idx[lo:lo + bs]
             images, labels = self.test_dataset.gather(chunk)
             n = len(chunk)
-            if n < bs:  # pad to static shape
-                pad = bs - n
-                images = np.concatenate([images, images[:pad]], axis=0)
-            preds_dev = self.predict(images)
-            if pending is not None:
-                consume(*pending)
-            pending = (preds_dev, labels, n)
-        consume(*pending)
+            if n < bs:  # pad to the static batch shape (tile: n can be
+                # smaller than bs - n, and predict() must always see bs
+                # rows or the tail batch compiles a second program and
+                # breaks the grouped stack)
+                reps = -(-bs // n)
+                images = np.concatenate([images] * reps, axis=0)[:bs]
+            cur.append((self.predict(images), labels, n))
+            if len(cur) == GROUP_N:
+                groups.append(cur)
+                cur = []
+                if len(groups) == 2:
+                    consume(groups.pop(0))
+        for g in groups:
+            consume(g)
+        if cur:
+            consume(cur)
         # kept for the seed_k_confusion_matrix.npy artifact (the reference
         # saves the LAST eval's matrix, _trainer.py:363-365)
         from ..utils.metrics import confusion_matrix

@@ -313,3 +313,25 @@ def test_remat_custom_forward_matches_plain(synth):
                            new_state.trainable)[0]))
     assert outs[False][0] == outs[True][0]
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
+
+
+def test_evaluate_short_tail_batch_inside_full_group(synth):
+    """Regression: evaluate()'s grouped prediction fetch stacks GROUP_N
+    per-batch results into one host transfer; a tail batch with
+    n < bs - n used to be under-padded (a single ``images[:pad]`` concat
+    only doubles the n rows available), producing an odd-shaped
+    prediction that crashed ``jnp.stack`` whenever the batch count was a
+    multiple of the group size (caught live on the TPU CLI run)."""
+    train, _ = synth
+    # 59 samples @ bs=8 -> 8 batches (a multiple of GROUP_N=8) so the
+    # tail lands INSIDE a stacked group; n=3 < bs-n=5 forces the tiled pad
+    big = make_synthetic(n_classes=8, per_class=16, image_size=32, seed=0,
+                         train=False)
+    test59 = dataclasses.replace(
+        big, images=big.images[:59], targets=big.targets[:59])
+    cfg = tiny_cfg(method="continual-clip")
+    tr = TinyContinualCLIP(cfg, train_dataset=train, test_dataset=test59)
+    tr.vocab.expose(test59.targets)
+    correct, total = tr.evaluate()
+    assert int(total.sum()) == 59
+    assert int(tr._last_confusion.sum()) == 59
