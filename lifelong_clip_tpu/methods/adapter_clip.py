@@ -71,8 +71,8 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
         # from the hot loop; the reference recomputes it every step)
         self._use_text_cache = not self.peft_cfg.on_text()
         self._step_txt_cache = {}
-        from .engine import ce_on_probs_loss
-        self._train_step = make_train_step(
+        from .engine import ce_on_probs_loss, remat_fallback
+        self._train_step = remat_fallback(lambda fb: make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
@@ -87,8 +87,10 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             loss_fn=ce_on_probs_loss if cfg.ce_on_probs else None,
             # at bs=256 the un-remat'd step fails to COMPILE (HBM);
             # at bs=128 measured remat loses slightly to the spill
-            # (690 vs 738 samples/s) — threshold at 256, --remat forces on
-            remat=cfg.remat or cfg.batchsize >= 256)
+            # (690 vs 738 samples/s) — threshold at 256, --remat forces
+            # on; fb = engine.remat_fallback retry after a compile OOM
+            # (e.g. ViT-L/14 at bs=64)
+            remat=cfg.remat or cfg.batchsize >= 256 or fb))
         self._text_fn = make_text_feature_fn(
             self.clip_cfg, self.peft_cfg, compute_dtype=self.compute_dtype,
             attn_impl=self._attn_impl)

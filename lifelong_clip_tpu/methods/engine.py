@@ -15,6 +15,7 @@ sharding all follow from standard JAX machinery.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Any, Callable, Optional
 
 import jax
@@ -25,6 +26,48 @@ from flax import struct
 from ..config import CLIPConfig, PEFTConfig
 from ..models import clip as clip_fns
 from ..ops import preprocess
+
+log = logging.getLogger("lifelong_clip_tpu")
+
+
+def remat_fallback(build: Callable[[bool], Callable]) -> Callable:
+    """Wrap a train-step factory with an HBM-OOM remat fallback.
+
+    ``build(remat: bool) -> step`` builds the jitted step. The non-remat
+    step is built eagerly; if its FIRST invocation fails because the
+    program does not fit HBM (XLA's compile-time ``Ran out of memory in
+    memory space hbm`` — surfaced as RESOURCE_EXHAUSTED locally or as
+    the remote-compile helper's INTERNAL error through the tunnel), the
+    step is rebuilt once with the depth-scan remat enabled and the call
+    retried. Compile-time failures raise before any execution, so
+    donated state buffers are untouched and the retry is safe; the remat
+    executable then serves the rest of the run.
+
+    This is the model-size complement of the static ``batchsize >= 256``
+    threshold: ViT-L/14 at bs=64 books ~16.2 G of HLO temp un-remat'd
+    (bench_all repro, r3) — a shape heuristic would chase constants,
+    the fallback reacts to the compiler's own verdict.
+    """
+    fn = build(False)
+    fell_back = False
+
+    def step(state, batch):
+        nonlocal fn, fell_back
+        try:
+            return fn(state, batch)
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e)
+            oom = "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+            if fell_back or not oom:
+                raise
+            log.warning("train step exceeds HBM un-remat'd; rebuilding "
+                        "with depth-scan remat (%s)",
+                        msg.splitlines()[0][:160])
+            fn = build(True)
+            fell_back = True
+            return fn(state, batch)
+
+    return step
 
 
 class TrainState(struct.PyTreeNode):

@@ -23,7 +23,7 @@ from ..models import clip as clip_fns
 from ..models.init import param_count
 from ..utils.train_utils import make_optimizer
 from .base import OnlineTrainer, pad_batch
-from .engine import TrainState, make_train_step
+from .engine import TrainState, make_train_step, remat_fallback
 
 log = logging.getLogger("lifelong_clip_tpu")
 
@@ -79,14 +79,15 @@ class ER(OnlineTrainer):
         import functools
         fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
                                 compute_dtype=self.compute_dtype)
-        self._train_step = make_train_step(
+        self._train_step = remat_fallback(lambda fb: make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
             use_cutmix="cutmix" in cfg.transforms,
             compute_dtype=self.compute_dtype, forward_fn=fwd,
-            remat=cfg.remat or cfg.batchsize >= 256)
+            # fb: engine.remat_fallback retry after a compile-time HBM OOM
+            remat=cfg.remat or cfg.batchsize >= 256 or fb))
 
         @jax.jit
         def predict_fn(frozen, trainable, images_u8, mask):

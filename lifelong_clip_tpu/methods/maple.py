@@ -25,7 +25,7 @@ from ..utils import tokenizer as tok
 from ..utils.class_vocab import ClassVocabulary
 from ..utils.train_utils import make_optimizer
 from .base import OnlineTrainer, pad_batch
-from .engine import TrainState, make_train_step
+from .engine import TrainState, make_train_step, remat_fallback
 
 log = logging.getLogger("lifelong_clip_tpu")
 
@@ -74,13 +74,14 @@ class MaPLe(OnlineTrainer):
             lambda frozen, trainable, images, tokens:
             maple_forward(frozen, trainable, images, tokens, self.clip_cfg,
                           self.n_ctx, self.compute_dtype))
-        self._train_step = make_train_step(
+        self._train_step = remat_fallback(lambda fb: make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
             compute_dtype=self.compute_dtype, forward_fn=fwd,
-            remat=cfg.remat or cfg.batchsize >= 256)
+            # fb: engine.remat_fallback retry after a compile-time HBM OOM
+            remat=cfg.remat or cfg.batchsize >= 256 or fb))
 
         from ..models import clip as clip_fns
         from ..models.maple import maple_encode_image, maple_encode_text

@@ -73,3 +73,39 @@ def test_optimizer_factory(opt):
     grads = {"w": jnp.ones((4, 4))}
     updates, _ = tx.update(grads, state, params)
     assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_remat_fallback_rebuilds_on_compile_oom():
+    """engine.remat_fallback: a compile-time HBM OOM on the first call
+    rebuilds the step with remat=True and retries; other errors and
+    second failures propagate; the fallback executable is reused."""
+    from lifelong_clip_tpu.methods.engine import remat_fallback
+
+    built = []
+
+    def build(remat):
+        built.append(remat)
+
+        def fn(state, batch):
+            if not remat:
+                raise jax.errors.JaxRuntimeError(
+                    "INTERNAL: http://…/remote_compile: HTTP 500 … "
+                    "Ran out of memory in memory space hbm. Used 16.23G")
+            return ("ok", state + batch)
+
+        return fn
+
+    step = remat_fallback(build)
+    assert step(1, 2) == ("ok", 3)
+    assert built == [False, True]
+    assert step(3, 4) == ("ok", 7)          # reuses the remat build
+    assert built == [False, True]
+
+    def build_other_error(remat):
+        def fn(state, batch):
+            raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: shapes")
+        return fn
+
+    step2 = remat_fallback(build_other_error)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID"):
+        step2(1, 2)
