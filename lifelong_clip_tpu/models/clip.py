@@ -33,14 +33,17 @@ _P = jax.lax.Precision.HIGHEST
 from ..config import CLIPConfig, PEFTConfig
 from ..ops.attention import causal_mask, multi_head_attention
 
-# layers per lax.scan iteration (partial unroll). One layer per iteration
-# keeps the HLO minimal but pays per-iteration scan overhead (measured
-# ~60 ms fwd+bwd vs ~26 ms fully unrolled for the prompted ViT-B tower,
-# PARITY.md); a FULL unroll explodes remote-compile time through the TPU
-# tunnel. Grouping G layers per iteration amortizes the overhead at G×
-# body size — the compile-time sweet spot. Env-tunable for sweeps.
+# layers per lax.scan iteration (partial unroll). The early-r3 ~60 ms
+# scan vs ~26 ms unrolled gap for the prompted ViT-B tower motivated a
+# G=4 default, but the row-batched fused kernels erased it: measured
+# late-r3, G=1 is equal-or-faster on EVERY config (lora 55.6 vs 56.6,
+# mvp-clip 72.9 vs 74.3, maple 59.8 vs 63.3, proto stage-1 159.8 vs
+# 163.3 ms) and G=4's larger live set pushes ViT-L/14 bs=64 over HBM at
+# compile (g=1 un-remat'd 257.4 ms vs g=4 remat'd 288.9). A FULL unroll
+# additionally explodes remote-compile time through the TPU tunnel.
+# Env-tunable for sweeps.
 import os
-_SCAN_GROUP = int(os.environ.get("LLC_SCAN_GROUP", "4"))
+_SCAN_GROUP = int(os.environ.get("LLC_SCAN_GROUP", "1"))
 
 
 def _resolve_group(n_layers: int, pref: Optional[int]) -> int:
