@@ -466,6 +466,24 @@ def ref_env(tmp_path_factory):
                        **kw):
         if method == "mvp-clip":
             return build_ref_mvp_model(), 32
+        if method == "moe-clip":
+            # the reference never registers a MoE method (its MoA blocks,
+            # model.py:445-636, are reachable only by constructing
+            # AdapterCLIP(peft_method='moe') directly) — this run drives
+            # that evidently-intended configuration through the real
+            # AdapterCLIP trainer. Gate NOISE is disabled on both sides
+            # for determinism (torch.randn_like vs jax PRNG cannot be
+            # stream-matched; the noise math itself is component-tested
+            # in tests/test_ops_moe) — clean-logit gating is the
+            # reference's own eval-mode path (model.py:577-578)
+            m = ref_adapter_mod.AdapterCLIP(
+                model_name="tiny", peft_method="moe",
+                peft_encoder=peft_encoder, device=torch.device("cpu"))
+            for mod in m.modules():
+                if hasattr(mod, "noisy_gating"):
+                    mod.noisy_gating = False
+            _liven_moe_init(m)   # seeded live gates/experts (see helper)
+            return m, 32
         if method == "maple":
             return build_ref_maple_model(), 32
         if method == "adapter-clip-proto_prompt":
@@ -508,7 +526,7 @@ def ref_env(tmp_path_factory):
 
     def patched_sdm(self):
         orig_sdm(self)
-        if self.method in ("lora-clip", "adapter-clip") and \
+        if self.method in ("lora-clip", "adapter-clip", "moe-clip") and \
                 not hasattr(self.custom_clip, "module"):
             self.custom_clip = torch.nn.DataParallel(self.custom_clip)
 
@@ -531,6 +549,26 @@ def ref_env(tmp_path_factory):
         tiny_loader=tiny_loader,
         ds_train=ds_train, ds_test=ds_test,
         tmp=tmp_path_factory.mktemp("refrun"))
+
+
+def _liven_moe_init(root):
+    """Give the MoA init teeth for parity: the shipped zero router + zero
+    up projections make gating degenerate (clean logits all tie at zero,
+    expert outputs vanish — a top-k or gating-input bug would be
+    invisible for many steps). Seeded small-random router/up_proj, applied
+    identically to BOTH sides (deterministic generator, module order), put
+    live gates and live expert deltas into the STEP-0 forward, which the
+    rtol 1e-4 step-0 assertion then pins."""
+    import torch
+    g = torch.Generator().manual_seed(123)
+    for mod in root.modules():
+        if hasattr(mod, "adaptmlp_list"):   # a MoA block
+            with torch.no_grad():
+                mod.router.copy_(
+                    torch.randn(mod.router.shape, generator=g) * 0.02)
+                for ex in mod.adaptmlp_list:
+                    ex.up_proj.weight.copy_(torch.randn(
+                        ex.up_proj.weight.shape, generator=g) * 0.02)
 
 
 def _ref_kwargs(log_path: str):
@@ -574,6 +612,26 @@ def _run_reference(ref_env, method="lora-clip"):
     kw = _ref_kwargs(str(ref_env.tmp / method))
     kw["method"] = method
     tr = ref_env.trainer_cls(**kw)
+    if method == "moe-clip":
+        # in-harness intent patch: the trainer's freeze-by-name
+        # (adapter_clip.py:117-119 keeps only 'adaptmlp'/'lora') would
+        # freeze the router of a design the shipped registry cannot even
+        # build; the MoA lineage (MoE-Adapters) trains the router, and our
+        # moe-clip keeps it in the trainable tree. reset_opt() re-runs so
+        # the rebuilt optimizer (requires_grad params only,
+        # train_utils.py:16-31) sees the unfrozen router. w_noise stays
+        # frozen: with gate noise off it has no gradient path (on our side
+        # its zero-grad leaf provably stays zero under adamw).
+        orig_obt = tr.online_before_task
+
+        def obt_unfreeze_router(task_id):
+            orig_obt(task_id)
+            for k, v in tr.custom_clip.named_parameters():
+                if "router" in k:
+                    v.requires_grad = True
+            tr.reset_opt()
+
+        tr.online_before_task = obt_unfreeze_router
     losses = []
     orig_step = tr.online_step
 
@@ -604,9 +662,13 @@ def _run_ours(ref_env, monkeypatch, tmp_path, peft="lora"):
     # the converter
     design = ({"method": "lora", "peft_encoder": "image",
                "lora_alpha": 1, "lora_r": 4} if peft == "lora" else
-              {"method": "adapter", "peft_encoder": "image",
+              {"method": peft, "peft_encoder": "image",
                "ffn_num": 64})
     ref_model = ref_env.tiny_loader("tiny", design_details=design)
+    if peft == "moe":
+        # same seeded liven as the reference-side build in fake_get_model:
+        # identical tensors land in our converted peft tree below
+        _liven_moe_init(ref_model)
     sd = {k: v.detach().float().numpy()
           for k, v in ref_model.state_dict().items()}
     ckpt = tmp_path / "tiny_ref.pt"
@@ -630,6 +692,45 @@ def _run_ours(ref_env, monkeypatch, tmp_path, peft="lora"):
         }}
         peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4,
                               lora_alpha=1)
+    elif peft == "moe":
+        # identical MoA init (reference _MoA, model.py:445-488): zero
+        # router/noise weights, per-expert adapters with kaiming down /
+        # ZERO up. Stacked to our (layers, experts, ...) expert leaves.
+        def stack_experts(key, transpose=False):
+            a = np.stack([np.stack(
+                [sd[f"visual.transformer.resblocks.{i}"
+                    f".adaptmlp_list.{j}.{key}"] for j in range(2)])
+                for i in range(2)])
+            return a.transpose(0, 1, 3, 2) if transpose else a
+
+        peft_tree = {"moe": {
+            "router": jnp.asarray(stack("router")),
+            "w_noise": jnp.asarray(stack("w_noise")),
+            "experts": {
+                "w_down": jnp.asarray(
+                    stack_experts("down_proj.weight", transpose=True)),
+                "b_down": jnp.asarray(stack_experts("down_proj.bias")),
+                "w_up": jnp.asarray(
+                    stack_experts("up_proj.weight", transpose=True)),
+                "b_up": jnp.asarray(stack_experts("up_proj.bias")),
+            },
+        }}
+        peft_cfg = PEFTConfig(method="moe", encoder="image",
+                              adapter_dim=64, adapter_scale=0.1,
+                              moe_experts=2, moe_top_k=2)
+        # deterministic gating on our side too: force clean logits (the
+        # reference run's MoA blocks have noisy_gating=False) — patch at
+        # the ops level so the production rng threading stays exercised
+        # up to the gate call
+        from lifelong_clip_tpu.ops import moe as moe_ops
+        orig_gates = moe_ops.noisy_top_k_gates
+
+        def clean_gates(cls_feats, router, w_noise, top_k, *, rng=None,
+                        noise_eps=1e-2):
+            return orig_gates(cls_feats, router, w_noise, top_k,
+                              rng=None, noise_eps=noise_eps)
+
+        monkeypatch.setattr(moe_ops, "noisy_top_k_gates", clean_gates)
     else:
         # identical serial-adapter init (reference kaiming down / ZERO up
         # — the shipped init, trained for real by both runs)
@@ -700,7 +801,8 @@ def _run_ours(ref_env, monkeypatch, tmp_path, peft="lora"):
     cfg = TrainConfig(
         # model_name is a placeholder preset: the real (tiny) architecture
         # is inferred from the checkpoint via pretrained_path
-        method="lora-clip" if peft == "lora" else "adapter-clip",
+        method={"lora": "lora-clip", "adapter": "adapter-clip",
+                "moe": "moe-clip"}[peft],
         dataset="synthetic-20", model_name="ViT-B/16",
         pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
         online_iter=1, temp_batchsize=0, lr=LR, opt_name="adamw",
@@ -761,6 +863,36 @@ def test_adapter_whole_run_trajectories_match(ref_env, monkeypatch,
     ref_acc, ref_losses = _run_reference(ref_env, method="adapter-clip")
     our_acc, our_losses = _run_ours(ref_env, monkeypatch, tmp_path,
                                     peft="adapter")
+
+    assert len(ref_losses) == len(our_losses)
+    np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(our_losses[:10], ref_losses[:10], rtol=2e-2,
+                               atol=2e-2)
+    assert abs(our_losses.mean() - ref_losses.mean()) < 0.05, \
+        (our_losses.mean(), ref_losses.mean())
+    assert ref_acc.shape == our_acc.shape == (N_TASKS,)
+    np.testing.assert_allclose(our_acc, ref_acc, atol=0.01)
+
+
+def test_moe_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    """Same trainer family, MoA design (mixture of adapter experts with
+    noisy-top-k routing, reference model.py:445-636 — never registered in
+    the shipped registry; reachable only via
+    AdapterCLIP(peft_method='moe')). Pins per-sample CLS-token gating,
+    top-k softmax gate weights, the dense all-expert combine against the
+    reference's SparseDispatcher scatter/gather, router gradients through
+    the gate softmax, and per-expert adapter training. The shipped
+    zero router/up init makes gating degenerate (all logits tie at zero,
+    expert deltas vanish), so _liven_moe_init seeds identical small-random
+    router/up on BOTH sides — the step-0 rtol 1e-4 assertion then really
+    pins the gate math (teeth-checked: top_k=1 on our side fails step 0).
+    Gate noise disabled on both sides (RNG backends cannot be
+    stream-matched); the reference's router unfreeze is an in-harness
+    intent patch documented in _run_reference."""
+    ref_acc, ref_losses = _run_reference(ref_env, method="moe-clip")
+    our_acc, our_losses = _run_ours(ref_env, monkeypatch, tmp_path,
+                                    peft="moe")
 
     assert len(ref_losses) == len(our_losses)
     np.testing.assert_allclose(our_losses[0], ref_losses[0], rtol=1e-4,
