@@ -60,13 +60,21 @@ def pool_select(pool, query, frequency, selection_size: int, *,
     return sim, sel, counts
 
 
+# Layers per scan iteration for this family's towers: the L2P/DualPrompt
+# step is the one place the depth-scan grouping measurably wins — g=4
+# 83.7 ms vs g=1 88.3 ms (l2p step, same-session A/B, r3); every other
+# method family measured equal-or-faster at the global g=1 default (see
+# BASELINE.md negative results).
+_SCAN_GROUP = 4
+
+
 def vit_query(frozen, images, cfg: CLIPConfig, compute_dtype):
     """Frozen promptless CLS query (reference l2p.py:145-150)."""
     from .mvp_clip import _vit_prelude
     x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
     q = clip_fns.transformer(jax.lax.stop_gradient(x), v["blocks"],
                              cfg.vision_heads, act=cfg.act,
-                             base_grads=False)
+                             base_grads=False, scan_group=_SCAN_GROUP)
     return jax.lax.stop_gradient(
         clip_fns.layer_norm(q[:, :1], v["ln_post"])[:, 0]), x, v
 
@@ -86,7 +94,8 @@ def l2p_forward(frozen, trainable, images, cfg: CLIPConfig, *,
     sp = sp + v["pos_embed"][:1].astype(jnp.float32)  # + pos_embed[0]
     x = jnp.concatenate([x[:, :1], sp.astype(x.dtype), x[:, 1:]], axis=1)
     h = clip_fns.transformer(x, v["blocks"], cfg.vision_heads,
-                             act=cfg.act, base_grads=False)
+                             act=cfg.act, base_grads=False,
+                             scan_group=_SCAN_GROUP)
     h = clip_fns.layer_norm(h, v["ln_post"])
     pooled = h[:, 1:selection_size * prompt_len + 1].mean(axis=1)
     logits = jnp.einsum("bd,dc->bc", pooled.astype(jnp.float32),
@@ -137,7 +146,7 @@ def dualprompt_forward(frozen, trainable, images, cfg: CLIPConfig, *,
                              layer_prompts=vals,
                              layer_prompt_valid=jnp.asarray(valid),
                              prompt_ln=True, act=cfg.act,
-                             base_grads=False)
+                             base_grads=False, scan_group=_SCAN_GROUP)
     pooled = clip_fns.layer_norm(h[:, :1], v["ln_post"])[:, 0]
     logits = jnp.einsum("bd,dc->bc", pooled.astype(jnp.float32),
                         trainable["head"]["w"], precision=_P) \
