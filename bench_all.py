@@ -3,15 +3,15 @@
 Times the REAL trainer ``online_step`` (host label remap + fused pipeline
 + jitted train step) at the headline batch size on synthetic data with
 full-size towers — the per-method complement to bench.py's lora-clip
-headline — plus the REAL ``evaluate()`` sweep (host fetch per batch, the
-honest eval path) and Rainbow Memory's 12-view MC uncertainty pass.
-Prints one JSON line per row.
+headline — plus the REAL ``evaluate()`` sweep and Rainbow Memory's
+12-view MC uncertainty pass. Prints one JSON line per row.
 
 Timing methodology (see CLAUDE.md): the tunneled TPU's block_until_ready
 can return early and host fetches cost ~25 ms, so each train measurement
 times a pipelined chain of dependent steps closed by ONE loss fetch. The
-eval row intentionally keeps the per-batch host fetch: that IS the eval
-path users run.
+eval row runs the same grouped-fetch loop ``evaluate()`` runs in
+production (predictions stacked and fetched 8 batches per tunnel round
+trip, one-group lookahead) — that IS the eval path users run.
 
 Usage: python bench_all.py [method ...]   (default: every registered method)
        method may carry a model preset: lora-clip@ViT-L/14

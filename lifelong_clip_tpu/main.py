@@ -41,10 +41,8 @@ def base_parser() -> argparse.ArgumentParser:
     p.add_argument("--memory_size", type=int, default=0)
     # NOTE default drift vs the reference: its configuration/config.py:67
     # defaults to 100, but every shipped launch script pins 1000 — we
-    # default to the scripts' value (scripts here pin their own too)
-    # default drift vs the reference (configuration/config.py:67 defaults
-    # to 100): the headline scripts all pin --eval_period 1000, and every
-    # launch script here sets its own value, so only bare-CLI runs differ
+    # default to the scripts' value (scripts here pin their own too), so
+    # only bare-CLI runs differ
     p.add_argument("--eval_period", type=int, default=1000)
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--visible_classes", type=str, default="batch",

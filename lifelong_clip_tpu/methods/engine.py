@@ -50,22 +50,32 @@ def remat_fallback(build: Callable[[bool], Callable]) -> Callable:
     """
     fn = build(False)
     fell_back = False
+    ran_once = False
 
-    def step(state, batch):
-        nonlocal fn, fell_back
+    def step(*args):
+        nonlocal fn, fell_back, ran_once
         try:
-            return fn(state, batch)
+            out = fn(*args)
+            ran_once = True
+            return out
         except jax.errors.JaxRuntimeError as e:
             msg = str(e)
-            oom = "Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
-            if fell_back or not oom:
+            # match the compile-time buffer-assignment failure text
+            # specifically ("Ran out of memory in memory space hbm"), not
+            # generic runtime RESOURCE_EXHAUSTED allocation failures: a
+            # runtime OOM can fire AFTER donation consumed the state
+            # buffers, and retrying on deleted arrays would mask the real
+            # error. Also never retry once any call has succeeded — the
+            # program provably fits, so a later OOM is memory pressure,
+            # not program size.
+            oom = "Ran out of memory" in msg
+            if fell_back or ran_once or not oom:
                 raise
             log.warning("train step exceeds HBM un-remat'd; rebuilding "
-                        "with depth-scan remat (%s)",
-                        msg.splitlines()[0][:160])
+                        "with remat (%s)", msg.splitlines()[0][:160])
             fn = build(True)
             fell_back = True
-            return fn(state, batch)
+            return fn(*args)
 
     return step
 

@@ -54,13 +54,18 @@ class EWCpp(ER):
             out_dtype=self.compute_dtype)
         reg_coef = self.reg_coef
         alpha, eps = self.alpha, self.eps
+        # --remat / bs>=256: checkpoint the tower forward — this step
+        # differentiates TWO forwards back to back, so its live set is
+        # strictly larger than the plain ER step's
+        fwd_r = (jax.checkpoint(fwd)
+                 if cfg.remat or cfg.batchsize >= 256 else fwd)
 
         def ce_loss(trainable, frozen, images, batch):
             # frozen must arrive as a traced ARGUMENT: closing over
             # self.params would bake the full tower into the program as a
             # constant (a ~600 MB serialized HLO that the remote-compile
             # tunnel rejects with HTTP 413)
-            logits, _, _ = fwd(frozen, trainable, images, None)
+            logits, _, _ = fwd_r(frozen, trainable, images, None)
             logits = logits + batch["mask"][None, :]
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, batch["labels"]).mean()

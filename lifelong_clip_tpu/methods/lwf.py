@@ -38,6 +38,7 @@ class LwF(ER):
 
     def setup_model(self):
         super().setup_model()
+        cfg = self.cfg
         fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
                                 compute_dtype=self.compute_dtype)
         pipeline = preprocess.make_train_pipeline(
@@ -48,40 +49,67 @@ class LwF(ER):
         tau = self.kd_temperature
         kd_hp = self.kd_hp
 
-        def kd_step(state: TrainState, batch, old_trainable):
-            rng, aug_rng = jax.random.split(state.rng)
-            images = pipeline(aug_rng, batch["images"])
-            # the reference distills from the old model's RAW logits — no
-            # exposure mask on either side (lwf.py:147-153)
-            old_logits, _, _ = fwd(state.frozen, old_trainable, images,
-                                   None)
+        # the reference LwF NEVER applies cutmix: model_forward computes
+        # do_cutmix and discards it (reference lwf.py:144-147) — rebuild
+        # the pre-snapshot step without the cutmix branch ER enables from
+        # cfg.transforms (autoaug stays on)
+        from .engine import make_train_step, remat_fallback
+        self._train_step = remat_fallback(lambda fb: make_train_step(
+            self.clip_cfg, self.peft_cfg, self.tx,
+            image_size=self.clip_cfg.image_size,
+            mean=self.train_dataset.mean, std=self.train_dataset.std,
+            use_autoaug="autoaug" in cfg.transforms, use_cutmix=False,
+            compute_dtype=self.compute_dtype, forward_fn=fwd,
+            remat=cfg.remat or cfg.batchsize >= 256 or fb))
 
-            def objective(trainable):
-                raw, _, _ = fwd(state.frozen, trainable, images, None)
-                logits = raw + batch["mask"][None, :]
-                ce = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, batch["labels"]).mean()
-                # KD over the full logit width: the reference's
-                # [:, :len(old_mask)] slice is the whole n_classes mask
-                # tensor, not the previously-seen count (lwf.py:152-153)
-                log_p = jax.nn.log_softmax(raw / tau, axis=-1)
-                q = jax.nn.softmax(old_logits / tau, axis=-1)
-                kd = -jnp.sum(q * log_p, axis=-1).mean()
-                loss = ce + kd_hp * kd
-                acc = jnp.mean((jnp.argmax(logits, -1) ==
-                                batch["labels"]).astype(jnp.float32))
-                return loss, acc
+        def build_kd_step(remat):
+            # --remat / the bs>=256 threshold / the OOM fallback apply to
+            # the KD step too: checkpoint the tower forward so its
+            # backward recomputes block intermediates (the kd step holds
+            # TWO tower forwards live — strictly larger than the ER step)
+            fwd_r = jax.checkpoint(fwd) if remat else fwd
 
-            (loss, acc), grads = jax.value_and_grad(
-                objective, has_aux=True)(state.trainable)
-            updates, opt_state = self.tx.update(grads, state.opt_state,
-                                                state.trainable)
-            trainable = optax.apply_updates(state.trainable, updates)
-            return state.replace(step=state.step + 1, trainable=trainable,
-                                 opt_state=opt_state, rng=rng), \
-                {"loss": loss, "acc": acc}
+            def kd_step(state: TrainState, batch, old_trainable):
+                rng, aug_rng = jax.random.split(state.rng)
+                images = pipeline(aug_rng, batch["images"])
+                # the reference distills from the old model's RAW logits —
+                # no exposure mask on either side (lwf.py:147-153)
+                old_logits, _, _ = fwd(state.frozen, old_trainable, images,
+                                       None)
 
-        self._kd_step = jax.jit(kd_step)
+                def objective(trainable):
+                    raw, _, _ = fwd_r(state.frozen, trainable, images,
+                                      None)
+                    logits = raw + batch["mask"][None, :]
+                    ce = optax.softmax_cross_entropy_with_integer_labels(
+                        logits, batch["labels"]).mean()
+                    # KD over the full logit width: the reference's
+                    # [:, :len(old_mask)] slice is the whole n_classes
+                    # mask tensor, not the previously-seen count
+                    # (lwf.py:152-153)
+                    log_p = jax.nn.log_softmax(raw / tau, axis=-1)
+                    q = jax.nn.softmax(old_logits / tau, axis=-1)
+                    kd = -jnp.sum(q * log_p, axis=-1).mean()
+                    loss = ce + kd_hp * kd
+                    acc = jnp.mean((jnp.argmax(logits, -1) ==
+                                    batch["labels"]).astype(jnp.float32))
+                    return loss, acc
+
+                (loss, acc), grads = jax.value_and_grad(
+                    objective, has_aux=True)(state.trainable)
+                updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                    state.trainable)
+                trainable = optax.apply_updates(state.trainable, updates)
+                return state.replace(step=state.step + 1,
+                                     trainable=trainable,
+                                     opt_state=opt_state, rng=rng), \
+                    {"loss": loss, "acc": acc}
+
+            return jax.jit(kd_step)
+
+        self._kd_step = remat_fallback(
+            lambda fb: build_kd_step(cfg.remat or cfg.batchsize >= 256
+                                     or fb))
         self._old_trainable = None
 
     def online_step(self, images, labels, indices):

@@ -117,6 +117,19 @@ class CLIP_MVP(OnlineTrainer):
         use_gsf, use_contrastiv = self.use_gsf, self.use_contrastiv
         alpha, gamma, margin = self.alpha, self.gamma, self.margin
         clip_cfg, dt = self.clip_cfg, self.compute_dtype
+        use_last_layer = self.use_last_layer
+
+        def _features(frozen, mvp, count, images):
+            return mvp_features(frozen, mvp, count, images, clip_cfg,
+                                use_contrastiv=use_contrastiv,
+                                use_last_layer=use_last_layer,
+                                train=True, compute_dtype=dt)
+
+        # --remat / bs>=256 / the engine's OOM fallback: checkpoint the
+        # prompted-tower forward (the step's dominant activation holder)
+        # so its backward recomputes block intermediates
+        feats_fn = (jax.checkpoint(_features)
+                    if cfg.remat or cfg.batchsize >= 256 else _features)
 
         def step(state: TrainState, batch, count):
             rng, aug_rng = jax.random.split(state.rng)
@@ -128,11 +141,8 @@ class CLIP_MVP(OnlineTrainer):
             def objective(mvp):
                 txt = clip_fns.encode_text(state.frozen, batch["tokens"],
                                            clip_cfg, compute_dtype=dt)
-                img, cls_mask_full, sim_loss, new_count, idx = mvp_features(
-                    state.frozen, mvp, count, images, clip_cfg,
-                    use_contrastiv=use_contrastiv,
-                    use_last_layer=self.use_last_layer,
-                    train=True, compute_dtype=dt)
+                img, cls_mask_full, sim_loss, new_count, idx = feats_fn(
+                    state.frozen, mvp, count, images)
                 # gather mask columns for the step's class slots
                 cls_mask = cls_mask_full[:, jnp.clip(slot_ids, 0, None)]
                 ign, cps = mvp_scores(

@@ -128,15 +128,24 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                                           self.clip_cfg.context_length)
         self.suffix_len = suffix_len
 
+        # --remat / bs>=256: checkpoint the prompted image tower (the text
+        # pass already remats internally — models/proto_clip.py:177,443)
+        remat_img = cfg.remat or cfg.batchsize >= 256
+
         def stage1_step(state: TrainState, batch, task_count):
             rng, aug_rng = jax.random.split(state.rng)
             images = pipeline(aug_rng, batch["images"])
 
-            def objective(proto):
-                img = pc.proto_encode_image(
+            def encode_img(proto, images):
+                return pc.proto_encode_image(
                     state.frozen, proto, images, clip_cfg,
                     task_count=task_count, n_tasks=n_tasks, train=True,
                     compute_dtype=dt)
+
+            img_fn = jax.checkpoint(encode_img) if remat_img else encode_img
+
+            def objective(proto):
+                img = img_fn(proto, images)
                 txt, _ = pc.proto_text_features(
                     state.frozen, proto, img, batch["tokens"], clip_cfg,
                     top_k=top_k, n_ctx=n_ctx, suffix_len=suffix_len,

@@ -66,16 +66,24 @@ class L2P(OnlineTrainer):
         div, clip_cfg, dt = self.diversified, self.clip_cfg, \
             self.compute_dtype
 
+        # --remat / bs>=256: checkpoint the prompted forward
+        remat_on = cfg.remat or cfg.batchsize >= 256
+
         def step(state: TrainState, batch, frequency):
             rng, aug_rng = jax.random.split(state.rng)
             images = pipeline(aug_rng, batch["images"])
 
-            def objective(trainable):
-                logits, sim, counts = vp.l2p_forward(
+            def fwd_body(trainable, images, frequency):
+                return vp.l2p_forward(
                     state.frozen, trainable, images, clip_cfg,
                     frequency=frequency, selection_size=sel,
                     prompt_len=plen, train=True, diversified=div,
                     compute_dtype=dt)
+
+            fwd_fn = jax.checkpoint(fwd_body) if remat_on else fwd_body
+
+            def objective(trainable):
+                logits, sim, counts = fwd_fn(trainable, images, frequency)
                 logits = logits + batch["mask"][None, :]
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, batch["labels"]).mean()
@@ -174,16 +182,25 @@ class DualPrompt(OnlineTrainer):
         pos_g, pos_e = self.pos_g, self.pos_e
         len_g, len_e = self.len_g, self.len_e
 
+        # --remat / bs>=256: checkpoint the prompted forward
+        remat_on = cfg.remat or cfg.batchsize >= 256
+
         def step(state: TrainState, batch, e_frequency):
             rng, aug_rng = jax.random.split(state.rng)
             images = pipeline(aug_rng, batch["images"])
 
-            def objective(trainable):
-                logits, sim, counts = vp.dualprompt_forward(
+            def fwd_body(trainable, images, e_frequency):
+                return vp.dualprompt_forward(
                     state.frozen, trainable, images, clip_cfg,
                     e_frequency=e_frequency, pos_g=pos_g, pos_e=pos_e,
                     len_g=len_g, len_e=len_e, train=True,
                     compute_dtype=dt)
+
+            fwd_fn = jax.checkpoint(fwd_body) if remat_on else fwd_body
+
+            def objective(trainable):
+                logits, sim, counts = fwd_fn(trainable, images,
+                                             e_frequency)
                 logits = logits + batch["mask"][None, :]
                 ce = optax.softmax_cross_entropy_with_integer_labels(
                     logits, batch["labels"]).mean()
@@ -344,16 +361,26 @@ class MVP(OnlineTrainer):
                 logits = logits * cls_mask
             return logits + class_mask[None, :]
 
+        # --remat / bs>=256: checkpoint the prompted-tower forward
+        remat_on = cfg.remat or cfg.batchsize >= 256
+
         def step(state: TrainState, batch, count):
             rng, aug_rng = jax.random.split(state.rng)
             images = pipeline(aug_rng, batch["images"])
 
-            def objective(trainable):
-                img, cls_mask, sim_loss, new_count, _ = mvp_features(
+            def feats_body(trainable, count, images):
+                return mvp_features(
                     state.frozen, trainable, count, images, clip_cfg,
                     use_contrastiv=use_contrastiv,
                     use_last_layer=use_last_layer, train=True,
                     query_ln=False, compute_dtype=dt)
+
+            feats_fn = jax.checkpoint(feats_body) if remat_on \
+                else feats_body
+
+            def objective(trainable):
+                img, cls_mask, sim_loss, new_count, _ = feats_fn(
+                    trainable, count, images)
                 ign, cps = mvp_head_scores(
                     jax.lax.stop_gradient(img),
                     jax.lax.stop_gradient(trainable["head"]["w"]),

@@ -56,8 +56,10 @@ def resize_bilinear(x, size: int):
         return x
     rh = jnp.asarray(_resize_matrix(h, size))
     rw = jnp.asarray(_resize_matrix(w, size))
-    x = jnp.einsum("oh,bhwc->bowc", rh, x.astype(jnp.float32))
-    return jnp.einsum("ow,bhwc->bhoc", rw, x)
+    x = jnp.einsum("oh,bhwc->bowc", rh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ow,bhwc->bhoc", rw, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def normalize(x, mean: Tuple[float, ...], std: Tuple[float, ...]):
@@ -159,8 +161,10 @@ def resize_pad_random_crop(rng, x, size: int, pad: int = 4):
 
     mh = jax.vmap(shift, in_axes=(None, 0))(rh, oy)     # (B, size, H)
     mw = jax.vmap(shift, in_axes=(None, 0))(rw, ox)
-    x = jnp.einsum("boi,bihc->bohc", mh, x.astype(jnp.float32))
-    return jnp.einsum("boj,bhjc->bhoc", mw, x)
+    x = jnp.einsum("boi,bihc->bohc", mh, x.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("boj,bhjc->bhoc", mw, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def make_train_pipeline(img_size: int,

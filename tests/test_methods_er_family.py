@@ -36,6 +36,47 @@ def test_lwf_run(synth):  # noqa: F811
     assert np.isfinite(out["A_last"])
 
 
+def test_lwf_ignores_cutmix(synth):  # noqa: F811
+    """The reference LwF computes ``do_cutmix`` and never uses it
+    (reference lwf.py:144-147) — its training is ALWAYS plain CE (+KD).
+    Regression for an r3 code-review finding: LwF inherited ER's
+    cutmix-enabled pre-snapshot step, so the first online_step trained
+    soft-label mixed CE under the default transforms. With identical
+    seeds, LwF's early losses must be bit-identical with and without
+    "cutmix" in transforms; the same comparison on ER diverges (teeth:
+    ER really does cutmix)."""
+    from lifelong_clip_tpu.methods.er_baseline import ER
+
+    class TinyER(_TinyMixin, ER):
+        pass
+
+    def first_losses(cls, method, transforms, n=6):
+        cfg = tiny_cfg(method=method, memory_size=0, online_iter=1,
+                       transforms=transforms)
+        tr = cls(cfg, train_dataset=synth[0], test_dataset=synth[1])
+        losses = []
+        stream = tr.stream
+        for t in range(2):
+            idx = stream.task_indices[t][:cfg.batchsize * 3]
+            for lo in range(0, len(idx), cfg.batchsize):
+                chunk = idx[lo:lo + cfg.batchsize]
+                images, labels = tr.train_dataset.gather(chunk)
+                tr.vocab.expose(labels)
+                stats = tr.online_step(images, labels, chunk)
+                losses.append(float(stats["loss"]))
+                if len(losses) >= n:
+                    return np.asarray(losses)
+        return np.asarray(losses)
+
+    lwf_plain = first_losses(TinyLwF, "lwf", ())
+    lwf_cm = first_losses(TinyLwF, "lwf", ("cutmix",))
+    np.testing.assert_array_equal(lwf_plain, lwf_cm)
+
+    er_plain = first_losses(TinyER, "er", ())
+    er_cm = first_losses(TinyER, "er", ("cutmix",))
+    assert not np.array_equal(er_plain, er_cm)
+
+
 def test_ewcpp_run(synth):  # noqa: F811
     train, test = synth
     cfg = tiny_cfg(method="ewc++", memory_size=32)

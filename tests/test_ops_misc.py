@@ -109,3 +109,27 @@ def test_remat_fallback_rebuilds_on_compile_oom():
     step2 = remat_fallback(build_other_error)
     with pytest.raises(jax.errors.JaxRuntimeError, match="INVALID"):
         step2(1, 2)
+
+
+def test_remat_fallback_never_retries_after_success():
+    """An OOM AFTER the step has succeeded once is memory pressure, not
+    program size — and donation may have consumed the caller's buffers —
+    so it must propagate, not trigger a rebuild."""
+    from lifelong_clip_tpu.methods.engine import remat_fallback
+
+    calls = {"n": 0}
+
+    def build(remat):
+        def fn(state, batch):
+            calls["n"] += 1
+            if calls["n"] > 1:
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED: Ran out of memory in memory "
+                    "space hbm")
+            return state + batch
+        return fn
+
+    step = remat_fallback(build)
+    assert step(1, 2) == 3
+    with pytest.raises(jax.errors.JaxRuntimeError, match="Ran out"):
+        step(3, 4)
