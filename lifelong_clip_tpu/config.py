@@ -77,6 +77,15 @@ CLIP_PRESETS = {
                           vision_layers=(6, 8, 18, 8), vision_heads=48,
                           text_width=768, text_heads=12, text_layers=12,
                           tower="rn"),
+    # Toy tower for CLI smoke runs / debugging (no reference counterpart;
+    # the reference's only smoke mode is --debug sample truncation,
+    # methods/_trainer.py:343-344 — it cannot shrink the model itself).
+    # Deep enough that DualPrompt's e-prompt layers (2,3,4) and MaPLe's
+    # depth-3 compound replacement actually place.
+    "debug-tiny": CLIPConfig(embed_dim=64, image_size=32, patch_size=8,
+                             vision_width=64, vision_layers=6,
+                             vision_heads=4, text_width=64, text_heads=4,
+                             text_layers=3),
     "RN50x64": CLIPConfig(embed_dim=1024, image_size=448, vision_width=128,
                           vision_layers=(3, 15, 36, 10), vision_heads=64,
                           text_width=1024, text_heads=16, text_layers=12,

@@ -65,11 +65,26 @@ class ArrayDataset:
 def dataset_stats(name: str):
     key = name.lower()
     if key.startswith("synthetic"):
-        n_cls = int(key.split("-")[1]) if "-" in key else 20
+        n_cls, _ = _parse_synthetic_spec(key)
         return (0.5, 0.5, 0.5), (0.25, 0.25, 0.25), n_cls
     if key not in _STATS:
         raise KeyError(f"unknown dataset {name!r}; known: {list(_STATS)}")
     return _STATS[key]
+
+
+def _parse_synthetic_spec(key: str):
+    """``synthetic[-C[xP]]`` -> (n_classes, per_class or None).
+
+    ``synthetic-20`` = 20 classes at the default per-class count;
+    ``synthetic-10x8`` = 10 classes, 8 samples each (tiny smoke runs).
+    """
+    if "-" not in key:
+        return 20, None
+    spec = key.split("-", 1)[1]
+    if "x" in spec:
+        c, p = spec.split("x", 1)
+        return int(c), int(p)
+    return int(spec), None
 
 
 def make_synthetic(n_classes: int = 20,
@@ -147,8 +162,9 @@ def get_dataset(name: str,
         return get_multi_dataset(key, data_dir, train=train,
                                  synthetic_fallback=synthetic_fallback)
     if key.startswith("synthetic"):
-        _, _, n_cls = dataset_stats(key)
-        return make_synthetic(n_classes=n_cls, train=train, name=key)
+        n_cls, per_class = _parse_synthetic_spec(key)
+        kw = {} if per_class is None else {"per_class": per_class}
+        return make_synthetic(n_classes=n_cls, train=train, name=key, **kw)
     try:
         return _load_native(key, data_dir, train)
     except Exception:
