@@ -55,8 +55,14 @@ def run_zero_shot_eval(trainer, dataset_names, *,
             log.warning("zero-shot: skipping %s (%s)", name, e)
             continue
         tokens = tokenize([template.format(c) for c in ds.class_names])
-        txt = clip_fns.encode_text(frozen, jnp.asarray(tokens), cfg,
-                                   compute_dtype=dt)
+        # text-side PEFT applies here too: the reference evaluates through
+        # the adapted custom_clip (_trainer.py:391-401), so adapters/LoRA
+        # on the text tower must not silently drop out at zero-shot eval
+        txt = clip_fns.encode_text(
+            frozen, jnp.asarray(tokens), cfg,
+            peft_cfg=trainer.peft_cfg if trainer.peft_cfg.on_text()
+            else None,
+            peft=(trainable or {}).get("text"), compute_dtype=dt)
         txt = clip_fns.normalize(txt)
         scale = float(np.exp(np.asarray(frozen["logit_scale"])))
         bs = trainer.cfg.test_batchsize
@@ -69,7 +75,11 @@ def run_zero_shot_eval(trainer, dataset_names, *,
             imgs, labels = ds.gather(idx)
             n = len(idx)
             if n < bs:
-                imgs = np.concatenate([imgs, imgs[:bs - n]])[:bs]
+                # tile to a full batch (same shape as every other batch,
+                # no tail-shape recompile; same fix as evaluate()'s
+                # tail-batch padding)
+                reps = -(-bs // n)
+                imgs = np.tile(imgs, (reps, 1, 1, 1))[:bs]
             img_f = np.asarray(encode_images(jnp.asarray(imgs), mean,
                                              std), np.float32)[:n]
             logits = scale * img_f @ np.asarray(txt, np.float32).T

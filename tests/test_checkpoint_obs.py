@@ -152,3 +152,39 @@ def test_compile_cache_setup(tmp_path, monkeypatch):
     assert jax.config.jax_compilation_cache_dir == d
     monkeypatch.setenv("LLC_COMPILE_CACHE", "off")
     assert enable_compilation_cache() is None
+
+
+def test_zero_shot_eval_applies_text_peft(synth, monkeypatch):  # noqa: F811
+    """--peft_encoder both/text must reach the text tower at zero-shot
+    eval too (the reference evaluates through the adapted custom_clip,
+    _trainer.py:391-401) — regression for a path that silently dropped
+    the text adapter."""
+    import dataclasses
+
+    from lifelong_clip_tpu.config import PEFTConfig
+    from lifelong_clip_tpu.methods import zero_shot_eval as zse
+    from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP
+
+    class T(_TinyMixin, AdapterCLIP):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="adapter-clip",
+                   peft=PEFTConfig(method="adapter", encoder="both"))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    tr.vocab.expose([0, 1])
+
+    captured = {}
+    orig = zse.clip_fns.encode_text
+
+    def spy(params, tokens, c, **kw):
+        captured.update(kw)
+        return orig(params, tokens, c, **kw)
+
+    monkeypatch.setattr(zse.clip_fns, "encode_text", spy)
+    res = zse.run_zero_shot_eval(tr, ["synthetic-4"],
+                                 synthetic_fallback=True)
+    assert "synthetic-4" in res
+    assert captured.get("peft_cfg") is not None \
+        and captured["peft_cfg"].on_text()
+    assert captured.get("peft") is not None
