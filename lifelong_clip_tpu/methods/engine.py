@@ -128,7 +128,8 @@ def peft_forward_cached_text(frozen, trainable, images, txt_features,
     img = clip_fns.normalize(img)
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
-                                txt_features.astype(jnp.float32))
+                                txt_features.astype(jnp.float32),
+                                precision=jax.lax.Precision.HIGHEST)
     return logits, img, txt_features
 
 
@@ -308,7 +309,8 @@ def make_eval_step(clip_cfg: CLIPConfig,
         scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
         logits = scale * jnp.einsum(
             "be,ce->bc", img.astype(jnp.float32),
-            txt_features.astype(jnp.float32))
+            txt_features.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST)
         logits = logits + mask[None, :]
         return jnp.argmax(logits, axis=-1), logits
 

@@ -107,7 +107,8 @@ class MaPLe(OnlineTrainer):
             scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
             logits = scale * jnp.einsum(
                 "be,ce->bc", img.astype(jnp.float32),
-                txt_features.astype(jnp.float32)) + mask[None, :]
+                txt_features.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST) + mask[None, :]
             return jnp.argmax(logits, axis=-1), logits
 
         self._text_fn = text_features

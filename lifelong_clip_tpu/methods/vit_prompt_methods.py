@@ -355,7 +355,8 @@ class MVP(OnlineTrainer):
 
         def head_logits(trainable, img, cls_mask, class_mask):
             logits = jnp.einsum("be,ec->bc", img.astype(jnp.float32),
-                                trainable["head"]["w"]) \
+                                trainable["head"]["w"],
+                                precision=jax.lax.Precision.HIGHEST) \
                 + trainable["head"]["b"]
             if use_mask:
                 logits = logits * cls_mask

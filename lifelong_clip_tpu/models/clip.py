@@ -486,5 +486,5 @@ def clip_forward(params,
                                 remat=remat))
     scale = jnp.exp(params["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
-                                txt.astype(jnp.float32))
+                                txt.astype(jnp.float32), precision=_P)
     return logits, img, txt

@@ -214,5 +214,5 @@ def maple_forward(frozen, learner, images, tokens, clip_cfg: CLIPConfig,
         frozen, learner, tokens, clip_cfg, n_ctx, compute_dtype))
     scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
     logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
-                                txt.astype(jnp.float32))
+                                txt.astype(jnp.float32), precision=_P)
     return logits, img, txt

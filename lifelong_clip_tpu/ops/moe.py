@@ -66,7 +66,7 @@ def moe_adapter_apply(x, moe, cfg: PEFTConfig, *, rng=None):
     y = y + ex["b_up"][None, :, None, :]
     y = cfg.adapter_scale * y
     out = jnp.einsum("be,betd->btd", gates.astype(jnp.float32),
-                     y.astype(jnp.float32))
+                     y.astype(jnp.float32), precision=_P)
     return out.astype(x.dtype)
 
 

@@ -182,7 +182,8 @@ def make_pp_forward(clip_cfg: CLIPConfig,
         txt = clip_fns.normalize(txt)
         scale = jnp.exp(frozen["logit_scale"]).astype(jnp.float32)
         logits = scale * jnp.einsum("be,ce->bc", img.astype(jnp.float32),
-                                    txt.astype(jnp.float32))
+                                    txt.astype(jnp.float32),
+                                    precision=jax.lax.Precision.HIGHEST)
         return logits, img, txt
 
     return fwd
