@@ -28,9 +28,20 @@ import jax.numpy as jnp
 # geometry: bilinear affine warp (replaces PIL Image.transform)
 # --------------------------------------------------------------------------
 
-def _affine_warp(img, mat):
+# out-of-bounds fill. The reference's LIVE augmentation path is
+# torchvision's transforms.AutoAugment on batched tensors
+# (methods/_trainer.py:216-229), which fills 0; its vendored PIL policy
+# classes fill gray (fillcolor=(128,128,128), utils/augment.py:179) but
+# setup_transforms never uses them — only Rainbow Memory's optional
+# vr_autoaug uncertainty metric does (rainbow_memory.py:267-268). Default
+# matches the live path; pass fill=128/255 for the PIL convention.
+# Out-of-range samples blend toward the fill by their lost coverage.
+_FILL = 0.0
+
+
+def _affine_warp(img, mat, fill: float = _FILL):
     """img (H, W, C) float; mat 2x3 mapping OUTPUT coords -> INPUT coords
-    (PIL convention). Out-of-bounds samples fill with 0."""
+    (PIL convention). Out-of-bounds coverage blends to ``fill``."""
     h, w, c = img.shape
     ys, xs = jnp.mgrid[0:h, 0:w]
     xin = mat[0, 0] * xs + mat[0, 1] * ys + mat[0, 2]
@@ -41,17 +52,26 @@ def _affine_warp(img, mat):
     wx = xin - x0
     wy = yin - y0
 
-    def gather(yc, xc):
+    def tap(yc, xc):
         valid = ((xc >= 0) & (xc < w) & (yc >= 0) & (yc < h))
         xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
         vals = img[yi, xi]                    # (H, W, C)
-        return jnp.where(valid[..., None], vals, 0.0)
+        return jnp.where(valid[..., None], vals, 0.0), \
+            valid.astype(img.dtype)
 
-    out = ((1 - wx)[..., None] * (1 - wy)[..., None] * gather(y0, x0)
-           + wx[..., None] * (1 - wy)[..., None] * gather(y0, x0 + 1)
-           + (1 - wx)[..., None] * wy[..., None] * gather(y0 + 1, x0)
-           + wx[..., None] * wy[..., None] * gather(y0 + 1, x0 + 1))
+    v00, m00 = tap(y0, x0)
+    v01, m01 = tap(y0, x0 + 1)
+    v10, m10 = tap(y0 + 1, x0)
+    v11, m11 = tap(y0 + 1, x0 + 1)
+    w00 = ((1 - wx) * (1 - wy)).astype(img.dtype)
+    w01 = (wx * (1 - wy)).astype(img.dtype)
+    w10 = ((1 - wx) * wy).astype(img.dtype)
+    w11 = (wx * wy).astype(img.dtype)
+    out = (w00[..., None] * v00 + w01[..., None] * v01
+           + w10[..., None] * v10 + w11[..., None] * v11)
+    cov = w00 * m00 + w01 * m01 + w10 * m10 + w11 * m11
+    out = out + fill * (1.0 - cov)[..., None]
     return out.astype(img.dtype)
 
 
@@ -466,10 +486,10 @@ def _batched_warp(images, mats):
     into MXU work. TPU gathers serialize — the vmapped 4-tap gather warp
     was ~3 ms/stage at bs=64x32px, ~6 ms of the headline step's
     preprocessing; this form is ~10x cheaper. Exact same math as
-    `_affine_warp` (incl. zero fill: out-of-range coords zero every hat
-    weight), asserted by tests/test_preprocess.py. Large images (native
-    224px datasets augment before resize) route to the gather warp, where
-    the quartic hat-tensor scaling would dominate instead.
+    `_affine_warp` (incl. the gray fill: lost hat-weight coverage blends
+    to ``_FILL``), asserted by tests/test_preprocess.py. Large images
+    (native 224px datasets augment before resize) route to the gather
+    warp, where the quartic hat-tensor scaling would dominate instead.
     """
     b, h, w, c = images.shape
     if max(h, w) > _WARP_EINSUM_MAX_SIDE:
@@ -493,6 +513,10 @@ def _batched_warp(images, mats):
     out = jnp.einsum("boxy,boxyc->boxc", wy, t,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
+    # hat-weight mass lost past the border blends to the gray fill
+    # (separable: total weight = sum_i wx_i * sum_y wy_y, == 1 in-range)
+    cov = wx.sum(-1) * wy.sum(-1)                               # (B, H, W)
+    out = out + _FILL * (1.0 - cov)[..., None]
     return out.astype(images.dtype)
 
 

@@ -93,7 +93,7 @@ def test_cutout_zeroes_patch():
 
 def test_batched_warp_matches_gather_warp():
     """The einsum-form batched warp must equal the per-sample 4-tap
-    gather warp exactly (same bilinear weights, same zero fill)."""
+    gather warp exactly (same bilinear weights, same gray fill)."""
     from lifelong_clip_tpu.ops.autoaugment import (_affine_warp,
                                                    _batched_warp,
                                                    _center_mat)
