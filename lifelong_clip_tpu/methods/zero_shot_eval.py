@@ -70,16 +70,13 @@ def run_zero_shot_eval(trainer, dataset_names, *,
         total = np.zeros((ds.n_classes,), np.int64)
         mean = jnp.asarray(ds.mean)
         std = jnp.asarray(ds.std)
+        from .base import pad_batch
         for lo in range(0, len(ds), bs):
             idx = np.arange(lo, min(lo + bs, len(ds)))
             imgs, labels = ds.gather(idx)
-            n = len(idx)
-            if n < bs:
-                # tile to a full batch (same shape as every other batch,
-                # no tail-shape recompile; same fix as evaluate()'s
-                # tail-batch padding)
-                reps = -(-bs // n)
-                imgs = np.tile(imgs, (reps, 1, 1, 1))[:bs]
+            # tail batches tile to the full static shape (no tail-shape
+            # recompile) via the shared helper
+            imgs, _, n = pad_batch(imgs, labels, bs)
             img_f = np.asarray(encode_images(jnp.asarray(imgs), mean,
                                              std), np.float32)[:n]
             logits = scale * img_f @ np.asarray(txt, np.float32).T

@@ -75,7 +75,7 @@ def _affine_warp(img, mat, fill: float = _FILL):
     return out.astype(img.dtype)
 
 
-def _center_affine(img, a, b, c_, d):
+def _center_affine(img, a, b, c_, d, fill: float = _FILL):
     """Affine about the image center with linear part [[a,b],[c_,d]]."""
     h, w, _ = img.shape
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -83,33 +83,33 @@ def _center_affine(img, a, b, c_, d):
     tx = cx - a * cx - b * cy
     ty = cy - c_ * cx - d * cy
     mat = jnp.array([[a, b, tx], [c_, d, ty]], jnp.float32)
-    return _affine_warp(img, mat)
+    return _affine_warp(img, mat, fill)
 
 
-def shear_x(img, mag):
-    return _center_affine(img, 1.0, mag, 0.0, 1.0)
+def shear_x(img, mag, fill: float = _FILL):
+    return _center_affine(img, 1.0, mag, 0.0, 1.0, fill)
 
 
-def shear_y(img, mag):
-    return _center_affine(img, 1.0, 0.0, mag, 1.0)
+def shear_y(img, mag, fill: float = _FILL):
+    return _center_affine(img, 1.0, 0.0, mag, 1.0, fill)
 
 
-def translate_x(img, mag):
+def translate_x(img, mag, fill: float = _FILL):
     h, w, _ = img.shape
     mat = jnp.array([[1.0, 0.0, mag * w], [0.0, 1.0, 0.0]], jnp.float32)
-    return _affine_warp(img, mat)
+    return _affine_warp(img, mat, fill)
 
 
-def translate_y(img, mag):
+def translate_y(img, mag, fill: float = _FILL):
     h, w, _ = img.shape
     mat = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, mag * h]], jnp.float32)
-    return _affine_warp(img, mat)
+    return _affine_warp(img, mat, fill)
 
 
-def rotate(img, deg):
+def rotate(img, deg, fill: float = _FILL):
     rad = deg * jnp.pi / 180.0
     c, s = jnp.cos(rad), jnp.sin(rad)
-    return _center_affine(img, c, s, -s, c)
+    return _center_affine(img, c, s, -s, c, fill)
 
 
 # --------------------------------------------------------------------------
@@ -475,7 +475,7 @@ def _center_mat(m, h, w):
 _WARP_EINSUM_MAX_SIDE = 64
 
 
-def _batched_warp(images, mats):
+def _batched_warp(images, mats, fill: float = _FILL):
     """One bilinear warp per sample with per-sample matrices — as two
     batched contractions instead of gathers.
 
@@ -486,14 +486,16 @@ def _batched_warp(images, mats):
     into MXU work. TPU gathers serialize — the vmapped 4-tap gather warp
     was ~3 ms/stage at bs=64x32px, ~6 ms of the headline step's
     preprocessing; this form is ~10x cheaper. Exact same math as
-    `_affine_warp` (incl. the gray fill: lost hat-weight coverage blends
-    to ``_FILL``), asserted by tests/test_preprocess.py. Large images
+    `_affine_warp` (incl. the fill: lost hat-weight coverage blends to
+    ``fill``, default 0 = the live torchvision convention), asserted by
+    tests/test_preprocess.py. Large images
     (native 224px datasets augment before resize) route to the gather
     warp, where the quartic hat-tensor scaling would dominate instead.
     """
     b, h, w, c = images.shape
     if max(h, w) > _WARP_EINSUM_MAX_SIDE:
-        return jax.vmap(_affine_warp)(images, mats)
+        return jax.vmap(lambda im, m: _affine_warp(im, m, fill))(images,
+                                                                 mats)
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     a = mats[:, 0, 0][:, None, None]
@@ -513,10 +515,10 @@ def _batched_warp(images, mats):
     out = jnp.einsum("boxy,boxyc->boxc", wy, t,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-    # hat-weight mass lost past the border blends to the gray fill
+    # hat-weight mass lost past the border blends to the fill value
     # (separable: total weight = sum_i wx_i * sum_y wy_y, == 1 in-range)
     cov = wx.sum(-1) * wy.sum(-1)                               # (B, H, W)
-    out = out + _FILL * (1.0 - cov)[..., None]
+    out = out + fill * (1.0 - cov)[..., None]
     return out.astype(images.dtype)
 
 
