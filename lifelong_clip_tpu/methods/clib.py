@@ -23,7 +23,7 @@ from scipy.stats import ttest_ind
 from ..ops import preprocess
 from .base import pad_batch
 from .engine import TrainState
-from .er_baseline import ER, head_forward
+from .er_baseline import ER, head_features, head_forward, head_logits
 
 
 class CLIB(ER):
@@ -77,19 +77,56 @@ class CLIB(ER):
 
         self._clib_step = jax.jit(step)
 
-        @jax.jit
-        def sample_losses(frozen, trainable, images_u8, labels, mask):
+        # Loss bookkeeping runs on the DETERMINISTIC eval transform
+        # (resize + normalize, no augmentation) and the tower is frozen
+        # for CLIB (head-only trainable tree), so per-sample tower
+        # features are constants of the dataset index. Split the pass at
+        # the tower->head boundary and cache features per index: the
+        # whole-memory refresh (reference samplewise_loss_update,
+        # clib.py:216-244 — full forwards over the memory every
+        # imp_update_period updates) becomes a head-only pass.
+        def eval_feats(frozen, images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
             x = preprocess.resize_bilinear(x, self.clip_cfg.image_size)
             x = preprocess.normalize(x, self.train_dataset.mean,
                                      self.train_dataset.std)
-            logits, _, _ = fwd(frozen, trainable,
-                               x.astype(self.compute_dtype), None)
-            logits = logits + mask[None, :]
+            return head_features(frozen, x.astype(self.compute_dtype),
+                                 clip_cfg=self.clip_cfg,
+                                 compute_dtype=self.compute_dtype)
+
+        @jax.jit
+        def head_losses(trainable, feats, labels, mask):
+            logits = head_logits(trainable, feats) + mask[None, :]
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels)
 
-        self._sample_losses = sample_losses
+        @jax.jit
+        def losses_and_feats(frozen, trainable, images_u8, labels, mask):
+            feats = eval_feats(frozen, images_u8)
+            return head_losses(trainable, feats, labels, mask), feats
+
+        @jax.jit
+        def scatter_feats(buf, feats, pos, slots):
+            # slots padded with an out-of-range sentinel are dropped, so
+            # one compiled program serves any number of live updates
+            return buf.at[slots].set(feats[pos], mode="drop")
+
+        self._feats_fn = jax.jit(eval_feats)
+        self._head_losses = head_losses
+        self._losses_and_feats = losses_and_feats
+        self._scatter_feats = scatter_feats
+        # Device-resident feature cache, one row per memory slot. Host
+        # keeps only the slot -> dataset-index map; feature rows never
+        # cross the tunnel (a host-side cache measured SLOWER than the
+        # full sweep — the ~1.5 MB feats upload per refresh plus the
+        # per-step feats fetch cost more than the tower forwards saved).
+        # Only valid while the tower is frozen; FT-style trainable
+        # backbones bypass it.
+        self._feat_buf = None
+        self._slot_index = None
+        self._inc_pos = {}
+        self._inc_feats_dev = None
+        self._feats_cacheable = "backbone" not in self.state.trainable
 
         # adaptive LR machinery (reference clib.py:135-195)
         self._lr_is_high = True
@@ -109,10 +146,17 @@ class CLIB(ER):
         # per-sample loss of incoming samples drives memory insertion
         step_imgs, step_labels, _ = pad_batch(images, labels, cfg.batchsize)
         mask = jnp.asarray(self.vocab.logit_mask())
-        inc_losses = np.asarray(self._sample_losses(
+        losses_dev, feats_dev = self._losses_and_feats(
             self.state.frozen, self.state.trainable,
             jnp.asarray(step_imgs),
-            jnp.asarray(self.vocab.remap(step_labels), jnp.int32), mask))
+            jnp.asarray(self.vocab.remap(step_labels), jnp.int32), mask)
+        inc_losses = np.asarray(losses_dev)
+        if self._feats_cacheable:
+            # keep the incoming features ON DEVICE; the refresh scatters
+            # the rows that clib_update actually inserts into the slot
+            # buffer without a host round trip
+            self._inc_feats_dev = feats_dev
+            self._inc_pos = {int(idx): i for i, idx in enumerate(indices)}
         for i, (idx, lab) in enumerate(zip(indices, labels)):
             self.memory.clib_update(int(idx), int(lab),
                                     sample_loss=float(inc_losses[i]))
@@ -149,28 +193,90 @@ class CLIB(ER):
         idx = self.memory.ordered_indices()
         labels = np.asarray(self.memory.labels)
         mask = jnp.asarray(self.vocab.logit_mask())
-        all_losses = np.zeros((n,), np.float64)
-        # sweep at the cap, not the step batch size (bs=64 chunks meant 8
-        # serialized dispatch+fetch rounds over a 500-sample memory —
-        # ~360 ms of the CLIB step), and dispatch every chunk before
-        # fetching any so the ~25 ms/host-fetch tunnel latency overlaps
-        # device execution
-        bs = batch_cap
-        in_flight = []
-        for lo in range(0, n, bs):
-            chunk = idx[lo:lo + bs]
-            imgs, _ = self.train_dataset.gather(chunk)
-            labs = labels[lo:lo + bs]
-            imgs, labs, valid = pad_batch(imgs, labs, bs)
-            dev = self._sample_losses(
-                self.state.frozen, self.state.trainable, jnp.asarray(imgs),
-                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask)
-            in_flight.append((lo, valid, dev))
-        for lo, valid, dev in in_flight:
-            all_losses[lo:lo + valid] = np.asarray(dev)[:valid]
+        all_losses = self._memory_losses(idx, labels, mask, batch_cap)
         self.memory.update_loss_history(np.arange(n), all_losses,
                                         ema=1 - self.ema_ratio)
         self._last_mem_losses = all_losses
+
+    def _memory_losses(self, idx, labels, mask, batch_cap: int):
+        """Per-sample loss over the memory under the eval transform.
+
+        Fast path (frozen tower): head-only pass over cached per-index
+        tower features — no image forwards at all in steady state, since
+        every memory sample was seen as an incoming batch and cached
+        there. Cache misses (e.g. a resumed run restoring memory from a
+        checkpoint) batch-compute features first. Slow path (trainable
+        backbone): full forwards, chunked at ``batch_cap`` with every
+        chunk dispatched before any fetch so the ~25 ms/host-fetch tunnel
+        latency overlaps device execution."""
+        n = len(idx)
+        if self._feats_cacheable:
+            if self._feat_buf is None:
+                m = max(self.memory.memory_size, n, 1)
+                m = -(-m // batch_cap) * batch_cap
+                self._feat_buf = jnp.zeros(
+                    (m, self.clip_cfg.embed_dim), jnp.float32)
+                self._slot_index = np.full((m,), -1, np.int64)
+            m = self._feat_buf.shape[0]
+            cur = np.full((m,), -1, np.int64)
+            cur[:n] = idx
+            stale = np.nonzero(cur != self._slot_index)[0]
+            stale = stale[cur[stale] >= 0]
+            if len(stale):
+                pos = np.asarray([self._inc_pos.get(int(cur[s]), -1)
+                                  for s in stale], np.int32)
+                from_inc = stale[pos >= 0]
+                if len(from_inc) and self._inc_feats_dev is not None:
+                    k = int(self._inc_feats_dev.shape[0])
+                    sl = np.full((k,), m, np.int64)   # m = dropped sentinel
+                    pp = np.zeros((k,), np.int32)
+                    sl[:len(from_inc)] = from_inc
+                    pp[:len(from_inc)] = pos[pos >= 0]
+                    self._feat_buf = self._scatter_feats(
+                        self._feat_buf, self._inc_feats_dev,
+                        jnp.asarray(pp), jnp.asarray(sl))
+                    rest = stale[pos < 0]
+                else:
+                    rest = stale
+                # slots not covered by the last incoming batch (memory
+                # restored from a checkpoint, pre-populated memory):
+                # recompute their features, chunked, written on device
+                for lo in range(0, len(rest), batch_cap):
+                    chunk = rest[lo:lo + batch_cap]
+                    imgs, _ = self.train_dataset.gather(cur[chunk])
+                    pad = batch_cap - len(chunk)
+                    if pad:
+                        imgs = np.concatenate(
+                            [imgs, imgs[:1].repeat(pad, 0)], 0)
+                    feats = self._feats_fn(self.state.frozen,
+                                           jnp.asarray(imgs))
+                    sl = np.full((batch_cap,), m, np.int64)
+                    sl[:len(chunk)] = chunk
+                    self._feat_buf = self._scatter_feats(
+                        self._feat_buf, feats,
+                        jnp.arange(batch_cap, dtype=jnp.int32),
+                        jnp.asarray(sl))
+                self._slot_index = cur
+            labs = np.zeros((m,), labels.dtype)
+            labs[:n] = labels
+            dev = self._head_losses(
+                self.state.trainable, self._feat_buf,
+                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask)
+            return np.asarray(dev, np.float64)[:n]
+        all_losses = np.zeros((n,), np.float64)
+        in_flight = []
+        for lo in range(0, n, batch_cap):
+            chunk = idx[lo:lo + batch_cap]
+            imgs, _ = self.train_dataset.gather(chunk)
+            labs = labels[lo:lo + batch_cap]
+            imgs, labs, valid = pad_batch(imgs, labs, batch_cap)
+            dev = self._losses_and_feats(
+                self.state.frozen, self.state.trainable, jnp.asarray(imgs),
+                jnp.asarray(self.vocab.remap(labs), jnp.int32), mask)[0]
+            in_flight.append((lo, valid, dev))
+        for lo, valid, dev in in_flight:
+            all_losses[lo:lo + valid] = np.asarray(dev)[:valid]
+        return all_losses
 
     def _adaptive_lr(self, significance: float = 0.05):
         cfg = self.cfg

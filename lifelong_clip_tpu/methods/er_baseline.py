@@ -30,6 +30,22 @@ log = logging.getLogger("lifelong_clip_tpu")
 _P = jax.lax.Precision.HIGHEST
 
 
+def head_features(params, images, *, clip_cfg, compute_dtype,
+                  base_grads=False):
+    """Tower half of the ER-family classifier: CLIP image features,
+    unit-normalized, f32 — the exact tower->head boundary value."""
+    img = clip_fns.encode_image(params, images, clip_cfg,
+                                compute_dtype=compute_dtype,
+                                base_grads=base_grads)
+    return clip_fns.normalize(img).astype(jnp.float32)
+
+
+def head_logits(trainable, img):
+    """Head half: linear logits from the f32 boundary features."""
+    return jnp.einsum("be,ec->bc", img, trainable["head"]["w"],
+                      precision=_P) + trainable["head"]["b"]
+
+
 def head_forward(frozen, trainable, images, tokens, *, clip_cfg,
                  compute_dtype):
     """Classifier forward: CLIP image features -> linear head logits.
@@ -38,13 +54,10 @@ def head_forward(frozen, trainable, images, tokens, *, clip_cfg,
     itself is trained; otherwise it stays frozen.
     """
     params = trainable.get("backbone") or frozen
-    img = clip_fns.encode_image(params, images, clip_cfg,
-                                compute_dtype=compute_dtype,
-                                base_grads="backbone" in trainable)
-    img = clip_fns.normalize(img).astype(jnp.float32)
-    logits = jnp.einsum("be,ec->bc", img, trainable["head"]["w"],
-                        precision=_P) + trainable["head"]["b"]
-    return logits, img, None
+    img = head_features(params, images, clip_cfg=clip_cfg,
+                        compute_dtype=compute_dtype,
+                        base_grads="backbone" in trainable)
+    return head_logits(trainable, img), img, None
 
 
 class ER(OnlineTrainer):
