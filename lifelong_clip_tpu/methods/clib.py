@@ -1,13 +1,17 @@
 """CLIB — memory-only training with sample-wise importance + adaptive LR.
 
 Parity target: reference ``methods/clib.py``: training batches come from
-episodic memory only; memory replacement evicts the sample whose removal
-costs least (loss-decrease bookkeeping, ``update_memory():66-87``); a
-per-sample loss history over the whole memory is EMA-updated periodically
-(``samplewise_loss_update():216-244``); and the LR alternates between a
-high/low pair, with a Welch t-test deciding geometric re-centering
-(``adaptive_lr():135-195`` — host-side here, as it is O(steps) scalar
-work).
+episodic memory only; memory replacement evicts, from the most frequent
+class (counting the incoming sample), the slot whose
+``others_loss_decrease`` attribution is smallest (``update_memory():66-87``
++ ``utils/memory.py:29-75`` — see ``ReplayMemory.clib_update`` for the two
+shipped-defect intent patches); a raw per-sample loss sweep over the whole
+memory runs every ``imp_update_period`` updates and feeds the attribution
+EMA (``samplewise_loss_update():226-244``); and the LR alternates between
+a high/low pair, with a Welch t-test deciding geometric re-centering
+(``adaptive_lr():134-195`` — host-side here, as it is O(steps) scalar
+work). The reference computes no per-incoming-sample loss anywhere in
+this path.
 """
 
 from __future__ import annotations
@@ -128,12 +132,15 @@ class CLIB(ER):
         self._inc_feats_dev = None
         self._feats_cacheable = "backbone" not in self.state.trainable
 
-        # adaptive LR machinery (reference clib.py:135-195)
+        # adaptive LR machinery (reference clib.py:134-195)
         self._lr_is_high = True
         self._high_hist, self._low_hist = [], []
         self._prev_losses = None
         self._train_count = 0
         self._imp_counter = 0
+        self._loss_sweep = None        # last RAW sweep (reference self.loss)
+        self._dropped_idx = []         # slots written since last LR period
+        self._mem_dropped_idx = []     # slots written since last loss sweep
         self._set_lr(self._lr_high)
 
     def _set_lr(self, lr: float):
@@ -142,31 +149,35 @@ class CLIB(ER):
 
     # -- hot loop ---------------------------------------------------------
     def online_step(self, images, labels, indices):
+        """Reference clib.py:48-64: memory insertion, then memory-only
+        training with a loss sweep + adaptive-LR check per iteration.
+        The reference never computes a per-sample loss for incoming
+        samples — insertion is scored purely by others_loss_decrease."""
         cfg = self.cfg
-        # per-sample loss of incoming samples drives memory insertion
-        step_imgs, step_labels, _ = pad_batch(images, labels, cfg.batchsize)
         mask = jnp.asarray(self.vocab.logit_mask())
-        losses_dev, feats_dev = self._losses_and_feats(
-            self.state.frozen, self.state.trainable,
-            jnp.asarray(step_imgs),
-            jnp.asarray(self.vocab.remap(step_labels), jnp.int32), mask)
-        inc_losses = np.asarray(losses_dev)
         if self._feats_cacheable:
-            # keep the incoming features ON DEVICE; the refresh scatters
-            # the rows that clib_update actually inserts into the slot
-            # buffer without a host round trip
-            self._inc_feats_dev = feats_dev
+            # dispatch the incoming batch's tower features now (device
+            # only, no host fetch); the refresh scatters the rows that
+            # clib_update actually inserts into the slot buffer
+            step_imgs, _, _ = pad_batch(images, labels, cfg.batchsize)
+            self._inc_feats_dev = self._feats_fn(self.state.frozen,
+                                                 jnp.asarray(step_imgs))
             self._inc_pos = {int(idx): i for i, idx in enumerate(indices)}
-        for i, (idx, lab) in enumerate(zip(indices, labels)):
-            self.memory.clib_update(int(idx), int(lab),
-                                    sample_loss=float(inc_losses[i]))
+        order = self.vocab.exposed
+        for idx, lab in zip(indices, labels):
+            slot = self.memory.clib_update(int(idx), int(lab), order)
+            # reference clib.py:81-87: every written slot lands on BOTH
+            # dropped lists (append path included)
+            self._dropped_idx.append(slot)
+            self._mem_dropped_idx.append(slot)
 
         # memory-only training batches
         stats = {}
         for _ in range(max(int(cfg.online_iter), 1)):
-            mem_idx = self.memory.sample(cfg.batchsize)
+            mem_idx, slots = self.memory.sample_with_slots(cfg.batchsize)
             if len(mem_idx) == 0:
                 return {}
+            self.memory.mark_used(slots)
             m_images, m_labels = self.train_dataset.gather(mem_idx)
             m_images, m_labels, _ = pad_batch(m_images, m_labels,
                                               cfg.batchsize)
@@ -194,9 +205,16 @@ class CLIB(ER):
         labels = np.asarray(self.memory.labels)
         mask = jnp.asarray(self.vocab.logit_mask())
         all_losses = self._memory_losses(idx, labels, mask, batch_cap)
-        self.memory.update_loss_history(np.arange(n), all_losses,
-                                        ema=1 - self.ema_ratio)
-        self._last_mem_losses = all_losses
+        # reference clib.py:242-243: the sweep-over-sweep change feeds the
+        # others_loss_decrease attribution (slots replaced since the last
+        # sweep masked out), and the RAW sweep becomes self.loss
+        prev = self._loss_sweep if self._loss_sweep is not None \
+            else np.empty((0,), np.float64)
+        self.memory.clib_loss_update(all_losses, prev,
+                                     dropped_slots=self._mem_dropped_idx,
+                                     ema_ratio=self.ema_ratio)
+        self._mem_dropped_idx = []
+        self._loss_sweep = all_losses
 
     def _memory_losses(self, idx, labels, mask, batch_cap: int):
         """Per-sample loss over the memory under the eval transform.
@@ -279,30 +297,39 @@ class CLIB(ER):
         return all_losses
 
     def _adaptive_lr(self, significance: float = 0.05):
+        """Reference clib.py:134-195 adaptive_lr, faithfully: the loss
+        decrease each period excludes slots replaced since the last
+        period boundary; on a significant t-test the LR pair re-centers
+        geometrically AND the high/low phase flips a second time."""
         cfg = self.cfg
         period = cfg.lr_period or 10
         min_iter = cfg.lr_length or 10
         # reference adaptive_lr gates on the importance-update counter
-        # (clib.py:136)
+        # (clib.py:135)
         if self._imp_counter % max(cfg.imp_update_period, 1) != 0:
             return
         self._train_count += 1
-        if self._train_count % period != 0 or \
-                getattr(self, "_last_mem_losses", None) is None:
+        cur = self._loss_sweep
+        if cur is None or len(cur) == 0:      # clib.py:137
             return
-        cur = self._last_mem_losses
+        if self._train_count % period != 0:
+            return
         if self._prev_losses is not None and self._train_count > 20:
-            k = min(len(self._prev_losses), len(cur))
-            decrease = float(np.mean(self._prev_losses[:k] - cur[:k]))
-            (self._high_hist if self._lr_is_high
-             else self._low_hist).append(decrease)
-            if len(self._high_hist) > min_iter:
-                del self._high_hist[0]
-            if len(self._low_hist) > min_iter:
-                del self._low_hist[0]
+            k = len(self._prev_losses)
+            mask = np.ones(len(cur), bool)
+            if self._dropped_idx:
+                d = np.asarray(self._dropped_idx, np.int64)
+                mask[d[d < len(cur)]] = False
+            decrease = float(np.mean((self._prev_losses[:k] -
+                                      cur[:k])[mask[:k]]))
+            hist = self._high_hist if self._lr_is_high else self._low_hist
+            hist.append(decrease)
+            if len(hist) > min_iter:
+                del hist[0]
         self._prev_losses = cur
         self._lr_is_high = not self._lr_is_high
         self._set_lr(self._lr_high if self._lr_is_high else self._lr_low)
+        self._dropped_idx = []                # clib.py:162
 
         if (len(self._high_hist) == len(self._low_hist)
                 and len(self._high_hist) >= min_iter):
@@ -318,5 +345,7 @@ class CLIB(ER):
             else:
                 return
             self._high_hist, self._low_hist = [], []
+            # clib.py:169-195: re-centering toggles the phase again
+            self._lr_is_high = not self._lr_is_high
             self._set_lr(self._lr_high if self._lr_is_high
                          else self._lr_low)

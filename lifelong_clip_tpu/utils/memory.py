@@ -15,7 +15,7 @@ identical without the reference's rank-0 broadcast + barrier dance
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -32,6 +32,8 @@ class ReplayMemory:
         # CLIB bookkeeping (reference utils/memory.py:29-75)
         self.loss_history: List[float] = []
         self.usage_count: List[int] = []
+        self.others_loss_decrease: List[float] = []
+        self.previous_slots: List[int] = []
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -66,29 +68,96 @@ class ReplayMemory:
         self._replace(j, sample_idx, label)
         return j
 
-    # -- CLIB: replace the sample whose removal hurts least (reference
-    #    methods/clib.py:66-87) ---------------------------------------------
+    # -- CLIB: replace the sample whose training contribution is least
+    #    (reference methods/clib.py:66-87 + utils/memory.py:29-75) ----------
+    #
+    # Eviction scores are ``others_loss_decrease`` — per-slot bookkeeping
+    # of how much the memory loss decreased while the slot was in the
+    # training batch — NOT the slot's own loss. New slots start at the
+    # mean score of their class (0 for a first-of-class sample,
+    # reference memory.py:42-46/58-63). Two shipped reference defects are
+    # patched per their evident intent (PARITY.md "CLIB machinery"):
+    # memory.cls_list is never populated (add_new_class is ``pass``,
+    # making replace_data crash on the empty tensor; the intended growth
+    # is spelled out in the commented lines memory.py:25-27), so class
+    # bookkeeping here follows the trainer's exposure order; and
+    # memory.previous_idx is never populated (the CLIB-lineage sampler
+    # that recorded trained-on slots was lost in vendoring, leaving
+    # update_loss_history a no-op), so ``mark_used`` restores that
+    # plumbing.
     def clib_update(self, sample_idx: int, label: int,
-                    sample_loss: Optional[float] = None) -> int:
+                    class_order: Sequence[int]) -> int:
+        """Insert/replace; returns the slot written. ``class_order`` is
+        the exposure-ordered class-id list (the reference's
+        exposed_classes, which indexes cls_count in clib.py:76-78)."""
         self.seen += 1
+        old = np.asarray(self.others_loss_decrease, np.float64)
         if len(self.indices) < self.memory_size:
-            self._append(sample_idx, label, loss=sample_loss)
+            labels = np.asarray(self.labels)
+            same = np.nonzero(labels == label)[0] if len(labels) else []
+            # reference memory.py:42-46: first-of-class -> 0, else the
+            # mean score of the existing same-class slots
+            score = 0.0 if len(same) == 0 else float(old[same].mean())
+            self._append(sample_idx, label)
+            self.others_loss_decrease.append(score)
             return len(self.indices) - 1
         labels = np.asarray(self.labels)
-        counts = np.bincount(labels, minlength=max(labels.max(), label) + 1)
-        cls = int(counts.argmax())
+        order = [int(c) for c in class_order]
+        # reference clib.py:75-78: class frequencies in exposure order,
+        # counting the incoming sample; argmax takes the FIRST max, i.e.
+        # ties break toward earlier-exposed classes
+        counts = np.asarray([(labels == c).sum() for c in order], np.int64)
+        counts[order.index(int(label))] += 1
+        cls = order[int(np.argmax(counts))]
         cand = np.nonzero(labels == cls)[0]
-        losses = np.asarray(self.loss_history)[cand]
-        j = int(cand[np.argmin(losses)])
-        self._replace(j, sample_idx, label, loss=sample_loss)
+        j = int(cand[np.argmin(old[cand])])
+        self._replace(j, sample_idx, label)
+        # reference memory.py:51-63: score seeded AFTER the label swap —
+        # first-of-class -> mean of every score (incl. the replaced
+        # slot's old one), else mean over same-class slots except j
+        labels = np.asarray(self.labels)
+        same = np.nonzero(labels == label)[0]
+        same = same[same != j]
+        self.others_loss_decrease[j] = float(old.mean()) if len(same) == 0 \
+            else float(old[same].mean())
         return j
 
-    def update_loss_history(self, slots, losses, ema: float = 0.1):
-        """EMA update of per-slot loss history (reference memory.py:64-75)."""
-        for s, l in zip(np.atleast_1d(slots), np.atleast_1d(losses)):
-            if 0 <= s < len(self.loss_history):
-                self.loss_history[s] = ((1 - ema) * self.loss_history[s]
-                                        + ema * float(l))
+    def mark_used(self, slots):
+        """Record slots trained on since the last loss sweep (the
+        reference's memory.previous_idx — intent plumbing, see above)."""
+        self.previous_slots.extend(int(s) for s in np.atleast_1d(slots))
+
+    def clib_loss_update(self, loss, prev_loss, dropped_slots=None,
+                         ema_ratio: float = 0.90):
+        """Attribute the sweep-over-sweep memory loss change to the slots
+        trained on since the last sweep (reference memory.py:65-75,
+        update_loss_history): a scalar mean loss change over non-dropped
+        slots, EMA'd into ``others_loss_decrease`` at the used slots.
+        Also keeps ``loss_history`` = the raw sweep (the reference's
+        trainer-held ``self.loss``, clib.py:243) for checkpointing."""
+        loss = np.asarray(loss, np.float64)
+        self.loss_history = [float(l) for l in loss]
+        prev = np.asarray(self.previous_slots, np.int64)
+        self.previous_slots = []
+        if len(prev) == 0:
+            return
+        prev_loss = np.asarray(prev_loss, np.float64)
+        if dropped_slots is None:
+            loss_diff = float(np.mean(loss - prev_loss))
+        elif len(prev_loss) > 0:
+            mask = np.ones(len(loss), bool)
+            d = np.asarray(dropped_slots, np.int64)
+            mask[d[d < len(loss)]] = False
+            k = len(prev_loss)
+            loss_diff = float(np.mean((loss[:k] - prev_loss)[mask[:k]]))
+        else:
+            loss_diff = 0.0
+        old = np.asarray(self.others_loss_decrease, np.float64)
+        difference = loss_diff - float(old[prev].mean()) / len(prev)
+        # numpy fancy-index -= applies once per unique slot, matching
+        # torch's index_put(accumulate=False) in the reference
+        old[prev] -= (1 - ema_ratio) * difference
+        self.others_loss_decrease = [float(x) for x in old]
 
     # -- sampling -----------------------------------------------------------
     def sample(self, batch_size: int) -> np.ndarray:
@@ -101,6 +170,16 @@ class ReplayMemory:
         pick = self.rng.choice(len(self.indices), size=batch_size,
                                replace=replace)
         return np.asarray(self.indices, np.int64)[pick]
+
+    def sample_with_slots(self, batch_size: int):
+        """Like ``sample`` but also returns the memory slots drawn, for
+        CLIB's trained-on attribution (``mark_used``)."""
+        if not self.indices:
+            return np.empty((0,), np.int64), np.empty((0,), np.int64)
+        replace = len(self.indices) < batch_size
+        pick = self.rng.choice(len(self.indices), size=batch_size,
+                               replace=replace)
+        return np.asarray(self.indices, np.int64)[pick], pick
 
     def class_balance_weights(self) -> np.ndarray:
         """Inverse-frequency weights per stored sample (memory.py:77-81)."""
@@ -131,6 +210,7 @@ class ReplayMemory:
                 "labels": list(self.labels),
                 "seen": self.seen,
                 "loss_history": list(self.loss_history),
+                "others_loss_decrease": list(self.others_loss_decrease),
                 "rng_state": self.rng.bit_generator.state}
 
     def load_state_dict(self, st):
@@ -139,5 +219,8 @@ class ReplayMemory:
         self.labels = list(st["labels"])
         self.seen = st["seen"]
         self.loss_history = list(st["loss_history"])
+        self.others_loss_decrease = list(
+            st.get("others_loss_decrease", [0.0] * len(self.indices)))
+        self.previous_slots = []
         self.usage_count = [0] * len(self.indices)
         self.rng.bit_generator.state = st["rng_state"]

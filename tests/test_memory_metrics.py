@@ -43,13 +43,72 @@ def test_balanced_random_update_targets_heavy_class():
     assert 2 in labels
 
 
-def test_clib_update_replaces_min_loss():
+def test_clib_update_evicts_min_others_loss_decrease():
+    """Eviction targets the heavy class (counting the incoming label) and
+    within it the slot with the smallest others_loss_decrease score —
+    reference clib.py:75-81."""
     mem = ReplayMemory(4, seed=0)
-    for i, l in enumerate([0.9, 0.1, 0.5, 0.7]):
-        mem.clib_update(i, 0, sample_loss=l)
-    mem.clib_update(99, 1, sample_loss=1.0)
-    assert 1 not in mem.indices  # slot of min-loss (idx 1) replaced
+    for i in range(4):
+        mem.clib_update(i, 0, class_order=[0])
+    # scores start at the class mean (0); make slot 2 the least useful
+    mem.others_loss_decrease = [0.5, 0.3, -0.2, 0.4]
+    mem.clib_update(99, 1, class_order=[0, 1])
+    assert 2 not in mem.indices        # slot with min score replaced
     assert 99 in mem.indices
+    # reference memory.py:58-59: first-of-class seed = mean of ALL old
+    # scores (incl. the replaced slot's)
+    j = mem.indices.index(99)
+    np.testing.assert_allclose(mem.others_loss_decrease[j], 0.25)
+
+
+def test_clib_eviction_counts_incoming_label():
+    """label_frequency[incoming] += 1 (reference clib.py:76) can flip the
+    eviction class: memory holds 2+2, the incoming label breaks the tie
+    toward its own class."""
+    mem = ReplayMemory(4, seed=0)
+    for i, lab in enumerate([0, 0, 1, 1]):
+        mem.clib_update(i, lab, class_order=[0, 1])
+    mem.others_loss_decrease = [0.0, 1.0, -1.0, 1.0]
+    mem.clib_update(99, 1, class_order=[0, 1])
+    # class 1 (2+1 incoming) outweighs class 0 (2): slot 2 evicted, NOT
+    # the globally-min... slot 2 IS global min here; pin the class pick
+    # with a case where class 0 holds the global min instead
+    assert mem.indices == [0, 1, 99, 3]
+
+    mem2 = ReplayMemory(4, seed=0)
+    for i, lab in enumerate([0, 0, 1, 1]):
+        mem2.clib_update(i, lab, class_order=[0, 1])
+    mem2.others_loss_decrease = [-5.0, 1.0, 0.5, 1.0]
+    mem2.clib_update(99, 1, class_order=[0, 1])
+    # global min is slot 0 (class 0), but the incoming label tips the
+    # frequency argmax to class 1 -> slot 2 evicted
+    assert mem2.indices == [0, 1, 99, 3]
+
+
+def test_clib_loss_update_attributes_to_used_slots():
+    """others_loss_decrease moves only at marked slots, by
+    (1-ema)*(loss_diff - mean(old[used])/n_used), with replaced slots
+    masked out of loss_diff — reference memory.py:65-75."""
+    mem = ReplayMemory(4, seed=0)
+    for i in range(4):
+        mem.clib_update(i, 0, class_order=[0])
+    mem.others_loss_decrease = [0.1, 0.2, 0.3, 0.4]
+    mem.mark_used([1, 3])
+    prev = np.array([1.0, 1.0, 1.0, 1.0])
+    cur = np.array([0.5, 9.0, 0.5, 0.5])   # slot 1 was replaced: masked
+    mem.clib_loss_update(cur, prev, dropped_slots=[1], ema_ratio=0.9)
+    loss_diff = np.mean([0.5 - 1.0, 0.5 - 1.0, 0.5 - 1.0])  # slots 0,2,3
+    difference = loss_diff - np.mean([0.2, 0.4]) / 2
+    exp = np.array([0.1, 0.2 - 0.1 * difference, 0.3,
+                    0.4 - 0.1 * difference])
+    np.testing.assert_allclose(mem.others_loss_decrease, exp, rtol=1e-12)
+    assert mem.previous_slots == []        # cleared after attribution
+    assert mem.loss_history == list(cur)   # raw sweep stored, no EMA
+
+    # no marked slots (the shipped reference state): a no-op on scores
+    before = list(mem.others_loss_decrease)
+    mem.clib_loss_update(cur, prev, dropped_slots=[])
+    assert mem.others_loss_decrease == before
 
 
 def test_memory_sample_and_state_roundtrip():

@@ -174,7 +174,7 @@ def test_clib_adaptive_lr_honors_knobs(synth):  # noqa: F811
 
     # drive the machinery to a period boundary with histories that make
     # the low LR win the Welch t-test -> geometric re-centering by lr_step
-    tr._last_mem_losses = np.ones(8)
+    tr._loss_sweep = np.ones(8)
     tr._prev_losses = np.full(8, 2.0)                 # appends decrease 1.0
     tr._train_count = 21                              # next call: 22 % 2 == 0
     tr._lr_is_high = True
@@ -184,10 +184,13 @@ def test_clib_adaptive_lr_honors_knobs(synth):  # noqa: F811
     tr._adaptive_lr()
     assert np.isclose(tr._lr_high, 0.5 * lr_high_before)
     assert np.isclose(tr._lr_low, 0.25 * lr_high_before)
-    # and the live optimizer LR reflects the switch
+    # the re-centering toggles the phase a second time (reference
+    # clib.py:169-195): the period toggle went high->low, re-centering
+    # flips back to high, so the live LR is the NEW high
+    assert tr._lr_is_high
     live = float(np.asarray(
         tr.state.opt_state.hyperparams["learning_rate"]))
-    assert np.isclose(live, tr._lr_low) or np.isclose(live, tr._lr_high)
+    assert np.isclose(live, tr._lr_high)
 
 
 def test_vote_ratio_uncertainty():
