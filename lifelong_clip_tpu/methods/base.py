@@ -68,6 +68,7 @@ class OnlineTrainer:
             if np.prod(cfg.mesh_shape) > 1 else None
 
         self.clip_cfg = resolve_clip_preset(cfg.model_name)
+        self._setup_run_logger()
         hist = stream_class_histogram(self.stream,
                                       self.train_dataset.targets)
         log.info("stream data config: %s",
@@ -80,6 +81,29 @@ class OnlineTrainer:
         self.eval_records = {"acc": [], "time": [], "step": []}
         self._start = time.time()
         self.setup_model()
+
+    def _setup_run_logger(self):
+        """Per-run ``log.txt`` in the run dir via a root-logger file
+        handler — the reference's artifact schema includes it
+        (``methods/_trainer.py:486-503``, rank-0 ``setup_root_logger``).
+        One handler per process: a new trainer re-points it (tests build
+        many trainers; accumulating handlers would duplicate lines)."""
+        root = logging.getLogger()
+        for h in list(root.handlers):
+            if getattr(h, "_llc_run_log", False):
+                root.removeHandler(h)
+                h.close()
+        fh = logging.FileHandler(
+            os.path.join(self.result_dir(), "log.txt"))
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s %(name)s %(levelname)s %(message)s"))
+        fh.setLevel(logging.INFO)
+        fh._llc_run_log = True
+        root.addHandler(fh)
+        if root.level > logging.INFO:
+            # basicConfig may not have run (library use); the file
+            # handler must still see INFO records
+            root.setLevel(logging.INFO)
 
     # -- to be provided by method subclasses ---------------------------------
     def setup_model(self):
@@ -163,9 +187,18 @@ class OnlineTrainer:
             vocab=self.vocab, metrics=self.metrics,
             cursor={"task_id": task_id + 1, "batch": 0,
                     "samples_seen": self.samples_seen,
-                    "next_eval": self._next_eval})
+                    "next_eval": self._next_eval},
+            extra=self.checkpoint_extra())
         log.info("checkpoint saved to %s (post-task %d)", ckpt_dir,
                  task_id + 1)
+
+    def checkpoint_extra(self):
+        """Hook: method-specific host state to persist alongside the
+        TrainState (e.g. CLIB's adaptive-LR machine). Must be picklable."""
+        return {}
+
+    def restore_extra(self, extra):
+        """Hook: restore what ``checkpoint_extra`` saved."""
 
     # -- evaluation -----------------------------------------------------------
     def evaluate(self):

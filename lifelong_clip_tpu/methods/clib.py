@@ -106,7 +106,11 @@ class CLIB(ER):
 
         @jax.jit
         def losses_and_feats(frozen, trainable, images_u8, labels, mask):
-            feats = eval_feats(frozen, images_u8)
+            # the slow path serves train_backbone subclasses, where the
+            # live tower sits in trainable["backbone"] and frozen is {}
+            # (same selection as er_baseline.head_forward)
+            tower = trainable.get("backbone") or frozen
+            feats = eval_feats(tower, images_u8)
             return head_losses(trainable, feats, labels, mask), feats
 
         @jax.jit
@@ -146,6 +150,46 @@ class CLIB(ER):
     def _set_lr(self, lr: float):
         self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
             lr, jnp.float32)
+
+    # -- checkpoint plumbing: without this a resumed run silently resets
+    # the adaptive-LR state machine and attributes the first post-resume
+    # sweep against an empty prev (ADVICE r3) -------------------------------
+    def checkpoint_extra(self):
+        return {"clib": {
+            "lr_high": self._lr_high, "lr_low": self._lr_low,
+            "lr_is_high": self._lr_is_high,
+            "high_hist": list(self._high_hist),
+            "low_hist": list(self._low_hist),
+            "prev_losses": None if self._prev_losses is None
+            else np.asarray(self._prev_losses).tolist(),
+            "train_count": self._train_count,
+            "imp_counter": self._imp_counter,
+            "loss_sweep": None if self._loss_sweep is None
+            else np.asarray(self._loss_sweep).tolist(),
+            "dropped_idx": list(self._dropped_idx),
+            "mem_dropped_idx": list(self._mem_dropped_idx),
+            "previous_slots": list(self.memory.previous_slots),
+        }}
+
+    def restore_extra(self, extra):
+        st = (extra or {}).get("clib")
+        if not st:
+            return
+        self._lr_high = st["lr_high"]
+        self._lr_low = st["lr_low"]
+        self._lr_is_high = st["lr_is_high"]
+        self._high_hist = list(st["high_hist"])
+        self._low_hist = list(st["low_hist"])
+        self._prev_losses = None if st["prev_losses"] is None \
+            else np.asarray(st["prev_losses"], np.float64)
+        self._train_count = st["train_count"]
+        self._imp_counter = st["imp_counter"]
+        self._loss_sweep = None if st["loss_sweep"] is None \
+            else np.asarray(st["loss_sweep"], np.float64)
+        self._dropped_idx = list(st["dropped_idx"])
+        self._mem_dropped_idx = list(st["mem_dropped_idx"])
+        self.memory.previous_slots = list(st["previous_slots"])
+        self._set_lr(self._lr_high if self._lr_is_high else self._lr_low)
 
     # -- hot loop ---------------------------------------------------------
     def online_step(self, images, labels, indices):

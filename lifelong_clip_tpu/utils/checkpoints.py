@@ -112,4 +112,7 @@ def restore_trainer(trainer, path: str):
         trainer.metrics.eval_points = [
             EvalPoint(s, acc, np.asarray(c), np.asarray(t))
             for s, acc, c, t in m["eval_points"]]
+    restore_extra = getattr(trainer, "restore_extra", None)
+    if restore_extra is not None:
+        restore_extra(host.get("extra") or {})
     return host.get("cursor", {})

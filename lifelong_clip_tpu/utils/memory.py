@@ -149,7 +149,14 @@ class ReplayMemory:
             d = np.asarray(dropped_slots, np.int64)
             mask[d[d < len(loss)]] = False
             k = len(prev_loss)
-            loss_diff = float(np.mean((loss[:k] - prev_loss)[mask[:k]]))
+            # intent patch: when EVERY tracked slot was replaced since the
+            # last sweep (batchsize*imp_update_period > memory_size) the
+            # reference takes the mean of an empty slice — a NaN that EMAs
+            # permanently into others_loss_decrease and degenerates the
+            # argmin eviction (reference memory.py:65-75). Attribute 0
+            # instead, the same value its own len(prev_loss)==0 branch uses.
+            loss_diff = float(np.mean((loss[:k] - prev_loss)[mask[:k]])) \
+                if mask[:k].any() else 0.0
         else:
             loss_diff = 0.0
         old = np.asarray(self.others_loss_decrease, np.float64)

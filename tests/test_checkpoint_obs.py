@@ -69,6 +69,36 @@ def test_checkpoint_roundtrip(tmp_path, synth):  # noqa: F811
     assert tr2.metrics.task_acc == tr.metrics.task_acc
 
 
+def test_clib_checkpoint_restores_adaptive_lr_state(tmp_path, synth):  # noqa: F811
+    """CLIB's adaptive-LR machine + sweep attribution state survive a
+    checkpoint round trip (ADVICE r3: a resumed run must not silently
+    reset to the high-LR phase and drop the sweep history)."""
+    from lifelong_clip_tpu.methods.clib import CLIB
+
+    class T(_TinyMixin, CLIB):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="clib", online_iter=1, memory_size=12,
+                   imp_update_period=1, lr_period=2, lr_length=2,
+                   ckpt_dir=str(tmp_path / "clib_ck"))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    tr.run()
+    # the run exercised the LR machine; capture its live state
+    want = tr.checkpoint_extra()["clib"]
+    assert want["train_count"] > 0 and want["loss_sweep"] is not None
+
+    tr2 = T(cfg, train_dataset=train, test_dataset=test)
+    from lifelong_clip_tpu.utils.checkpoints import restore_trainer
+    restore_trainer(tr2, str(tmp_path / "clib_ck"))
+    got = tr2.checkpoint_extra()["clib"]
+    assert got == want
+    # the restored optimizer runs at the phase's LR, not a fresh default
+    lr = float(tr2.state.opt_state.hyperparams["learning_rate"])
+    assert lr == pytest.approx(
+        want["lr_high"] if want["lr_is_high"] else want["lr_low"])
+
+
 def test_resume_continues_run(tmp_path, synth):  # noqa: F811
     """A run resumed from a post-task-1 checkpoint skips task 1."""
     from lifelong_clip_tpu.methods.adapter_clip import AdapterCLIP

@@ -114,6 +114,9 @@ def test_zero_shot_run(synth):
     from lifelong_clip_tpu.utils.stream import exposed_test_indices
     n_eval = len(exposed_test_indices(test.targets, tr.vocab.exposed))
     assert int(cm.sum()) == n_eval
+    # per-run log.txt file handler (reference _trainer.py:486-503)
+    log_txt = open(os.path.join(d, "log.txt")).read()
+    assert "task 1" in log_txt and "result:" in log_txt
 
 
 def test_lora_online_run_loss_decreases(synth):

@@ -111,6 +111,29 @@ def test_clib_loss_update_attributes_to_used_slots():
     assert mem.others_loss_decrease == before
 
 
+def test_clib_loss_update_all_slots_replaced_no_nan():
+    """When EVERY tracked slot was replaced since the last sweep
+    (batchsize*imp_update_period > memory_size), the masked mean is over
+    an empty slice — the reference EMAs the resulting NaN permanently
+    into the eviction scores; the intent patch attributes 0 instead
+    (ADVICE r3, utils/memory.py)."""
+    mem = ReplayMemory(4, seed=0)
+    for i in range(4):
+        mem.clib_update(i, 0, class_order=[0])
+    mem.others_loss_decrease = [0.1, 0.2, 0.3, 0.4]
+    mem.mark_used([0, 1])
+    prev = np.array([1.0, 1.0, 1.0, 1.0])
+    cur = np.array([0.5, 0.5, 0.5, 0.5])
+    mem.clib_loss_update(cur, prev, dropped_slots=[0, 1, 2, 3],
+                         ema_ratio=0.9)
+    assert np.isfinite(mem.others_loss_decrease).all()
+    # loss_diff == 0: scores still re-center by -mean(old[used])/n_used
+    difference = 0.0 - np.mean([0.1, 0.2]) / 2
+    exp = np.array([0.1 - 0.1 * difference, 0.2 - 0.1 * difference,
+                    0.3, 0.4])
+    np.testing.assert_allclose(mem.others_loss_decrease, exp, rtol=1e-12)
+
+
 def test_memory_sample_and_state_roundtrip():
     mem = ReplayMemory(8, seed=1)
     for i in range(20):
