@@ -75,7 +75,7 @@ def main():
     # ~25 ms. So: pipeline a chain of steps (each depends on the previous
     # state) and force the whole chain with ONE final value fetch.
     state, metrics = step(state, batch)
-    float(metrics["loss"])  # full round-trip: ensures compile + exec done
+    loss_first = float(metrics["loss"])  # round-trip: compile + exec done
     state, metrics = step(state, batch)
     float(metrics["loss"])
 
@@ -83,8 +83,16 @@ def main():
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
-    _ = float(metrics["loss"])  # forces the full dependent chain
+    loss_last = float(metrics["loss"])  # forces the full dependent chain
     dt = time.perf_counter() - t0
+
+    # learning gate (VERDICT r4 item 2): 22 optimizer steps on the SAME
+    # batch must drop the loss — a silent grad regression (base_grads,
+    # optimizer on the wrong tree, dead LoRA path) benchmarks identically
+    # fast but fails this
+    assert loss_last < loss_first - 0.02, (
+        f"bench steps did not learn: loss {loss_first:.4f} -> "
+        f"{loss_last:.4f} after {iters + 2} updates on one batch")
 
     step_ms = dt / iters * 1e3
     samples_per_sec = batch_size * iters / dt
@@ -164,6 +172,9 @@ def main():
         # peak-spec MFU; see comments above for the FLOP model)
         "mfu_vs_measured_matmul": round(mfu, 3),
         "measured_matmul_tflops": round(matmul_tflops, 1),
+        # same-batch training loss across the run: the learning gate
+        "loss_first": round(loss_first, 4),
+        "loss_last": round(loss_last, 4),
     }))
 
 

@@ -212,6 +212,51 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
         self._eval_fn = eval_logits
 
+        # eval text cache: per-(sample, class) text features depend on the
+        # image only through the ordered top-k prompt selection — at the
+        # reference's (P=10, k=2) that is 90 distinct ctx splices. One
+        # batched pass per eval sweep builds all (n_comb, C, E) features;
+        # per-batch eval then costs the image pass + a row gather instead
+        # of the full B·C pair-text pass (r3: proto eval 87.2 ms/batch vs
+        # 21.7 for lora — VERDICT r4 item 4)
+        combos, lookup = pc.prompt_combinations(self.num_prompt, top_k)
+        self._comb_ok = combos is not None
+        if self._comb_ok:
+            num_prompt = self.num_prompt
+
+            @jax.jit
+            def comb_text_table(frozen, proto, tokens):
+                d = proto["text_prompt"].shape[-1]
+                ctx = proto["text_prompt"][combos].reshape(
+                    len(combos), -1, d)
+                return pc.text_features_for_ctx(
+                    frozen, ctx, tokens, clip_cfg, suffix_len=suffix_len,
+                    compute_dtype=dt)
+
+            @functools.partial(jax.jit, static_argnums=(6,))
+            def eval_logits_cached(frozen, proto, images_u8, txt_comb,
+                                   mask, lookup_tbl, task_count):
+                x = eval_preprocess(images_u8)
+                img = pc.proto_encode_image(
+                    frozen, proto, x.astype(dt), clip_cfg,
+                    task_count=task_count, n_tasks=n_tasks, train=False,
+                    compute_dtype=dt)
+                prob = jnp.einsum(
+                    "be,pe->bp", img.astype(jnp.float32),
+                    proto["text_key"].astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST)
+                _, idx = jax.lax.top_k(prob,
+                                       min(top_k, prob.shape[1]))
+                cid = lookup_tbl[pc.fold_selection(idx, num_prompt)]
+                txt = txt_comb[cid]                       # (B, C, E)
+                logits = pc.proto_logits(frozen, img, txt) + mask[None, :]
+                return jnp.argmax(logits, axis=-1), logits
+
+            self._comb_text_fn = comb_text_table
+            self._eval_cached_fn = eval_logits_cached
+            self._comb_lookup = jnp.asarray(lookup)
+        self._txt_comb = None
+
     # -- task boundary: opt reset + pre-task embeddings + pool GS -------------
     def online_before_task(self, task_id):
         """Reference ``online_before_task`` order (Trainer_ProtoCLIP.py:
@@ -444,8 +489,19 @@ class Trainer_ProtoCLIP(OnlineTrainer):
     def prepare_eval(self):
         self._mask = jnp.asarray(self.vocab.logit_mask())
         self._tokens = jnp.asarray(self.vocab.token_table)
+        if self._comb_ok:
+            # trainable/class set are frozen for the whole sweep: one
+            # combination-table pass amortizes over every eval batch
+            self._txt_comb = self._comb_text_fn(
+                self.state.frozen, self.state.trainable, self._tokens)
 
     def predict(self, images):
+        if self._txt_comb is not None:
+            preds, _ = self._eval_cached_fn(
+                self.state.frozen, self.state.trainable,
+                jnp.asarray(images), self._txt_comb, self._mask,
+                self._comb_lookup, self.task_count)
+            return preds
         preds, _ = self._eval_fn(self.state.frozen, self.state.trainable,
                                  jnp.asarray(images), self._tokens,
                                  self._mask, self.task_count)

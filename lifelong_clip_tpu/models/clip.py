@@ -191,12 +191,21 @@ def _block(x, blk, n_heads: int, mask, peft_cfg: Optional[PEFTConfig],
 
 
 def _mlp_half(x, blk, adapter, moe, act, peft_cfg=None, moe_rng=None):
-    """Second block half: x + MLP(LN2(x)) (+ adapter/MoE deltas)."""
+    """Second block half: x + MLP(LN2(x)) (+ adapter/MoE deltas).
+
+    The two (B, T, 4D) hidden tensors carry the ``mlp_hidden`` checkpoint
+    name: under ``remat='mlp'`` (transformer below) the backward saves
+    everything EXCEPT them and recomputes just fc+act — they are the
+    activation set that spills HBM at bs>=128 (BASELINE.md scaling
+    table), and whole-scan remat measured slower than the spill."""
+    from jax.ad_checkpoint import checkpoint_name
     h = layer_norm(x, blk["ln_2"])
     m = jnp.einsum("btd,de->bte", h, blk["mlp"]["w_fc"],
                    preferred_element_type=jnp.float32,
                    precision=_P) + blk["mlp"]["b_fc"]
+    m = checkpoint_name(m, "mlp_hidden")
     m = _ACTS[act](m.astype(h.dtype))
+    m = checkpoint_name(m, "mlp_hidden")
     m = jnp.einsum("bte,ed->btd", m, blk["mlp"]["w_proj"],
                    preferred_element_type=jnp.float32,
                    precision=_P) + blk["mlp"]["b_proj"]
@@ -311,8 +320,19 @@ def transformer(x,
             h = one_layer(h, jax.tree.map(lambda a: a[j], sl))
         return h, (jnp.stack(ins) if collect_inputs else None)
 
-    x, layer_inputs = jax.lax.scan(
-        jax.checkpoint(body) if remat else body, x, xs)
+    if remat == "mlp":
+        # selective: save every residual except the (B, T, 4D) MLP
+        # hiddens (tagged in _mlp_half) — the backward recomputes only
+        # fc+act, trading ~1/3 of the MLP fwd FLOPs for the exact
+        # activation set that spills HBM at bs>=128
+        wrapped = jax.checkpoint(
+            body, policy=jax.checkpoint_policies
+            .save_anything_except_these_names("mlp_hidden"))
+    elif remat:
+        wrapped = jax.checkpoint(body)
+    else:
+        wrapped = body
+    x, layer_inputs = jax.lax.scan(wrapped, x, xs)
     if collect_inputs:
         # per-layer block INPUTS (L, B, T, D) — the states a later pass can
         # inject as ln_1-processed KV prefixes (prefix sharing: under a

@@ -214,29 +214,81 @@ def proto_text_features(frozen, proto, img_feats, class_tokens,
     sel = proto["text_prompt"][indices]                       # (B, k, n_ctx, D)
     b = img_feats.shape[0]
     ctx = sel.reshape(b, k * n_ctx, -1)
-    lp = 1 + k * n_ctx
+    txt = text_features_for_ctx(frozen, ctx, class_tokens, cfg,
+                                suffix_len=suffix_len,
+                                compute_dtype=compute_dtype)
+    return txt, indices
+
+
+def text_features_for_ctx(frozen, ctx, class_tokens, cfg: CLIPConfig, *,
+                          suffix_len: int | None = None,
+                          compute_dtype=jnp.bfloat16):
+    """Normalized (B, C, E) text features for given spliced ctx tokens.
+
+    ``ctx``: (B, lp-1, D) prompt token embeddings spliced after [SOS].
+    The B axis can be samples (stage-1 training, top-k selected ctx) or
+    PROMPT COMBINATIONS (the eval cache, see ``prompt_combinations``)."""
+    b = ctx.shape[0]
+    lp = 1 + ctx.shape[1]
     eot = jnp.argmax(class_tokens, axis=-1)                   # (C,)
     c = class_tokens.shape[0]
 
     if suffix_len is not None and lp + suffix_len < cfg.context_length:
         txt = _prefix_shared_text(frozen, ctx, class_tokens, eot, lp,
                                   int(suffix_len), cfg, compute_dtype)
-        return clip_fns.normalize(txt), indices
+        return clip_fns.normalize(txt)
 
     t = frozen["text"]
     embeds = t["token_embedding"][class_tokens]               # (C, 77, D)
-    # splice ctx into positions 1..1+k*n_ctx for every (sample, class)
+    # splice ctx into positions 1..lp for every (sample, class)
     pair_embeds = jnp.broadcast_to(embeds[None], (b, c) + embeds.shape[1:])
     ctx_bc = jnp.broadcast_to(ctx[:, None], (b, c) + ctx.shape[1:])
     pair_embeds = jnp.concatenate(
         [pair_embeds[:, :, :1], ctx_bc.astype(pair_embeds.dtype),
-         pair_embeds[:, :, 1 + k * n_ctx:]], axis=2)
+         pair_embeds[:, :, lp:]], axis=2)
     eot_bc = jnp.broadcast_to(eot[None], (b, c)).reshape(b * c)
     txt = encode_text_embeddings(
         frozen, pair_embeds.reshape(b * c, *pair_embeds.shape[2:]),
         eot_bc, cfg, compute_dtype)
-    txt = clip_fns.normalize(txt).reshape(b, c, -1)
-    return txt, indices
+    return clip_fns.normalize(txt).reshape(b, c, -1)
+
+
+def prompt_combinations(num_prompt: int, top_k: int, cap: int = 1024):
+    """All ordered top-k prompt selections, or None when too many.
+
+    ``jax.lax.top_k`` yields k DISTINCT pool indices in probability order,
+    so a sample's spliced ctx is fully determined by one of
+    P!/(P-k)! ordered tuples — 90 at the reference's (P=10, k=2). Eval
+    text features therefore take at most that many distinct values per
+    class: precompute them once per eval sweep and reduce the per-batch
+    text cost to a gather (the reference re-runs B·C text passes per eval
+    batch, ``models/proto_clip.py:109-124``).
+
+    Returns (combos (n, k) int32, flat_lookup (P**k,) int32) where
+    ``flat_lookup[fold(tuple)]`` = combo row (-1 for impossible tuples,
+    e.g. repeated indices); fold = base-P positional encoding."""
+    from itertools import permutations
+    k = min(top_k, num_prompt)
+    combos = list(permutations(range(num_prompt), k))
+    if len(combos) > cap:
+        return None, None
+    lookup = np.full((num_prompt ** k,), -1, np.int32)
+    for row, tup in enumerate(combos):
+        flat = 0
+        for v in tup:
+            flat = flat * num_prompt + v
+        lookup[flat] = row
+    return np.asarray(combos, np.int32), lookup
+
+
+def fold_selection(indices, num_prompt: int):
+    """Base-P fold of (B, k) top-k index tuples -> (B,) flat ids matching
+    ``prompt_combinations``'s lookup layout."""
+    b, k = indices.shape
+    flat = jnp.zeros((b,), jnp.int32)
+    for m in range(k):
+        flat = flat * num_prompt + indices[:, m].astype(jnp.int32)
+    return flat
 
 
 def _prefix_shared_text(frozen, ctx, class_tokens, eot, lp: int, s: int,

@@ -253,7 +253,9 @@ def test_remat_step_matches_plain(synth):
         "mask": jnp.zeros((4,), jnp.float32),
     }
     outs = {}
-    for remat in (False, True):
+    # "mlp" = the selective save-all-but-MLP-hidden policy (the bs>=128
+    # HBM-spill fix) — like full remat it must be a pure scheduling change
+    for remat in (False, True, "mlp"):
         state = TrainState.create(trainable=jax.tree.map(jnp.copy, peft),
                                   frozen=params, tx=tx,
                                   rng=jax.random.PRNGKey(2))
@@ -269,6 +271,8 @@ def test_remat_step_matches_plain(synth):
                            new_state.trainable)[0]))
     assert outs[False][0] == outs[True][0]
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
+    assert outs[False][0] == outs["mlp"][0]
+    np.testing.assert_array_equal(outs[False][1], outs["mlp"][1])
 
 
 def test_remat_custom_forward_matches_plain(synth):

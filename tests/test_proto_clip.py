@@ -195,6 +195,52 @@ def test_proto_trainer_two_stage_run(synth):  # noqa: F811
         np.asarray(tr.state.trainable["text_prompt"])).all()
 
 
+def test_eval_comb_cache_matches_direct(synth):  # noqa: F811
+    """The eval combination-table path (precomputed per-sweep text
+    features gathered by the sample's top-k selection) must reproduce the
+    direct per-batch B·C text pass exactly — same logits, same preds."""
+    train, test = synth
+    cfg = tiny_cfg(method="adapter-clip-proto_prompt", memory_size=0,
+                   online_iter=1)
+    tr = TinyProto(cfg, train_dataset=train, test_dataset=test)
+    assert tr._comb_ok
+    # a few steps so pools/selection are non-degenerate
+    for bi, lo in enumerate(range(0, 32, cfg.batchsize)):
+        idx = np.arange(lo, lo + cfg.batchsize)
+        images, labels = train.gather(idx)
+        tr.vocab.expose(labels)
+        tr.online_step(images, labels, idx)
+    tr.prepare_eval()
+    assert tr._txt_comb is not None
+    images, _ = test.gather(np.arange(8))
+    preds_c, logits_c = tr._eval_cached_fn(
+        tr.state.frozen, tr.state.trainable, jnp.asarray(images),
+        tr._txt_comb, tr._mask, tr._comb_lookup, tr.task_count)
+    preds_d, logits_d = tr._eval_fn(
+        tr.state.frozen, tr.state.trainable, jnp.asarray(images),
+        tr._tokens, tr._mask, tr.task_count)
+    fin = np.isfinite(np.asarray(logits_d))
+    np.testing.assert_allclose(np.asarray(logits_c)[fin],
+                               np.asarray(logits_d)[fin],
+                               rtol=2e-2, atol=2e-2)  # bf16 pass
+    np.testing.assert_array_equal(np.asarray(preds_c),
+                                  np.asarray(preds_d))
+
+
+def test_prompt_combinations_cover_topk():
+    """Every top_k outcome folds to a valid combo row; impossible tuples
+    (repeats) stay -1."""
+    combos, lookup = pc.prompt_combinations(4, 2)
+    assert combos.shape == (12, 2)                 # 4P2 ordered pairs
+    for row, (i, j) in enumerate(combos):
+        assert lookup[i * 4 + j] == row
+    for i in range(4):
+        assert lookup[i * 4 + i] == -1             # repeats impossible
+    # over-cap selections disable the cache
+    c, lo = pc.prompt_combinations(10, 4, cap=1024)
+    assert c is None and lo is None
+
+
 def test_prefix_shared_text_features_match_full(frozen, proto):
     """The prefix-shared fast path (per-sample prefix pass + per-pair
     class-suffix pass with collected KV states) must reproduce the full

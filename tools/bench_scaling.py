@@ -35,14 +35,18 @@ def bench(batch_size: int):
     tx = make_optimizer("adamw", 5e-4)
     state = TrainState.create(trainable=peft, frozen=params, tx=tx,
                               rng=jax.random.PRNGKey(2))
+    # remat policy A/B (VERDICT r4 item 6): LLC_REMAT_POLICY=mlp tries the
+    # selective save-all-but-MLP-hidden checkpoint at every bs; full =
+    # whole-scan remat; default keeps the measured r3 choices (bs>=256
+    # full remat — cannot compile otherwise; bs=128 spills)
+    pol = os.environ.get("LLC_REMAT_POLICY", "")
+    remat = {"mlp": "mlp", "full": True}.get(pol, batch_size >= 256)
     step = make_train_step(cfg, peft_cfg, tx, image_size=cfg.image_size,
                            mean=(0.48145466, 0.4578275, 0.40821073),
                            std=(0.26862954, 0.26130258, 0.27577711),
                            use_autoaug=True, autoaug_policy="cifar10",
                            cached_text=True, compute_dtype=jnp.bfloat16,
-                           # bs=256 cannot compile without remat; bs=128
-                           # measured faster spilling than rematting
-                           remat=batch_size >= 256)
+                           remat=remat)
     rng = np.random.default_rng(0)
     tokens = np.zeros((n_cls, cfg.context_length), np.int32)
     tokens[:, 0] = 49406
@@ -70,6 +74,7 @@ def bench(batch_size: int):
     dt = time.perf_counter() - t0
     print(json.dumps({
         "batch_size": batch_size,
+        "remat": str(remat),
         "step_ms": round(dt / iters * 1e3, 2),
         "samples_per_sec": round(batch_size * iters / dt, 1),
     }), flush=True)
