@@ -57,11 +57,24 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             TrainState.create(trainable=self.peft, frozen=self.params,
                               tx=self.tx, rng=self.next_rng()),
             tx=self.tx, peft_method=self.peft_cfg.method)
-        # multi-device meshes route attention through the einsum path:
+        # model-axis meshes route attention through the einsum path:
         # GSPMD partitions it (and inserts the TP/EP collectives) freely,
-        # which it cannot do through an opaque Pallas custom call — the
-        # fused kernels stay the single-chip fast path
+        # which it cannot do through an opaque Pallas custom call. A
+        # PURE-DP mesh instead runs the train step inside shard_map over
+        # the data axis (engine.make_train_step dp_mesh=) — each shard
+        # runs the fused Pallas kernels on its local batch rows and grads
+        # pmean over ICI, so multi-chip DP keeps the 2.6x kernel win.
+        # Eval/text passes stay on the einsum path under any mesh (cold
+        # paths; replicated GSPMD handles them without a partition rule).
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        dp_only = self.mesh is not None \
+            and self.mesh.shape[MODEL_AXIS] == 1 \
+            and (cfg.batchsize + max(cfg.temp_batchsize, 0)) \
+            % self.mesh.shape[DATA_AXIS] == 0
+        self._dp_mesh = self.mesh if dp_only else None
         self._attn_impl = "xla" if self.mesh is not None else None
+        self._train_attn_impl = None if (self.mesh is None or dp_only) \
+            else "xla"
         log.info("backbone params: %d | trainable PEFT params: %d",
                  param_count(self.params), param_count(self.peft))
 
@@ -81,7 +94,8 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
                             "svhn" if "svhn" in cfg.dataset else "imagenet"),
             cached_text=self._use_text_cache,
             compute_dtype=self.compute_dtype,
-            attn_impl=self._attn_impl,
+            attn_impl=self._train_attn_impl,
+            dp_mesh=self._dp_mesh,
             # reference adapter-clip trains CE on softmaxed probs
             # (see engine.ce_on_probs_loss); --ce_on_probs 0 opts out
             loss_fn=ce_on_probs_loss if cfg.ce_on_probs else None,

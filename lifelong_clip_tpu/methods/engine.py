@@ -171,7 +171,17 @@ def make_train_step(clip_cfg: CLIPConfig,
                     # (BASELINE.md scaling table) — remat is the fix; at
                     # bs=64 it only adds recompute. Callers enable it for
                     # large-batch steps (see AdapterCLIP.setup_model).
-                    remat: bool = False):
+                    remat: bool = False,
+                    # pure-DP mesh: run the step inside shard_map over the
+                    # data axis (batch sharded, params replicated, grads
+                    # pmean'd) instead of GSPMD jit. This keeps the fused
+                    # Pallas kernels on multi-chip DP — GSPMD cannot
+                    # partition an opaque custom call, but each shard_map
+                    # shard runs the kernel on its local batch rows (the
+                    # layout tests/test_sharding.py pins in interpret
+                    # mode). Requires the model axis to be 1 and the step
+                    # batch to divide the data-axis size.
+                    dp_mesh=None):
     """Build the jitted online train step.
 
     batch dict:
@@ -208,8 +218,26 @@ def make_train_step(clip_cfg: CLIPConfig,
     moe_noise = peft_cfg is not None and peft_cfg.method == "moe" \
         and forward_fn is None
 
+    dp_axis = None
+    if dp_mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        if dp_mesh.shape.get(MODEL_AXIS, 1) != 1:
+            raise ValueError("dp_mesh is the pure-DP shard_map path; "
+                             f"model axis must be 1, got {dict(dp_mesh.shape)}")
+        dp_axis = DATA_AXIS
+
     def step(state: TrainState, batch):
         rng, aug_rng, mix_rng, moe_rng = jax.random.split(state.rng, 4)
+        if dp_axis is not None:
+            # per-shard augmentation / mix / gate-noise streams: the state
+            # rng is replicated across shards, so fold the shard index in
+            # or every shard would draw identical policies for different
+            # samples. (CutMix then mixes within each shard — statistically
+            # equivalent; the carried `rng` stays replicated.)
+            shard = jax.lax.axis_index(dp_axis)
+            aug_rng = jax.random.fold_in(aug_rng, shard)
+            mix_rng = jax.random.fold_in(mix_rng, shard)
+            moe_rng = jax.random.fold_in(moe_rng, shard)
         if pipeline is not None:
             images = pipeline(aug_rng, batch["images"])
         else:
@@ -248,6 +276,11 @@ def make_train_step(clip_cfg: CLIPConfig,
 
         (loss, acc), grads = jax.value_and_grad(
             objective, has_aux=True)(state.trainable)
+        if dp_axis is not None:
+            # per-shard loss is the mean over the LOCAL rows; pmean over
+            # equal shards = the global batch mean, so these grads equal
+            # the unsharded step's (the DP all-reduce GSPMD would insert)
+            loss, acc, grads = jax.lax.pmean((loss, acc, grads), dp_axis)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
@@ -255,6 +288,19 @@ def make_train_step(clip_cfg: CLIPConfig,
                                   opt_state=opt_state, rng=rng)
         return new_state, {"loss": loss, "acc": acc}
 
+    if dp_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        # state/tokens/mask replicated, batch rows sharded; outputs are
+        # replicated by construction (pmean'd grads -> identical update on
+        # every shard). check_vma=False: the Pallas custom calls declare no
+        # varying-mesh-axes info, so shard_map's VMA typer can't see that
+        # the per-shard outputs are batch-local — this wrapper takes
+        # responsibility for the layout.
+        batch_specs = {"images": P(dp_axis), "labels": P(dp_axis),
+                       "tokens": P(), "mask": P()}
+        step = jax.shard_map(step, mesh=dp_mesh,
+                             in_specs=(P(), batch_specs),
+                             out_specs=(P(), P()), check_vma=False)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

@@ -227,12 +227,14 @@ def test_trainer_mesh_tp_ep_placement(devices):
     assert np.isfinite(out["A_last"])
 
 
-def test_mesh_trainer_routes_attn_to_xla(devices):
-    """Pallas×sharding pin (VERDICT r3 weak #6), routing half: a
-    mesh-built trainer must resolve attn_impl to the einsum path — GSPMD
-    can partition it and insert TP/EP collectives, which it cannot do
-    through an opaque Pallas custom call with no partition rule. Without
-    a mesh the fused kernels stay the default (None -> pallas on TPU)."""
+def test_mesh_trainer_attn_routing(devices):
+    """Pallas×sharding pin (VERDICT r3 weak #6), routing half. A
+    model-axis mesh must resolve the TRAIN step to the einsum path —
+    GSPMD can partition it and insert TP/EP collectives, which it cannot
+    do through an opaque Pallas custom call with no partition rule. A
+    pure-DP mesh instead keeps the Pallas default and runs the step
+    inside shard_map (engine dp_mesh=). Eval/text passes use einsum
+    under any mesh; without a mesh everything stays the fused default."""
     import sys
     sys.path.insert(0, "tests")
     from test_engine import _TinyMixin, tiny_cfg
@@ -249,11 +251,57 @@ def test_mesh_trainer_routes_attn_to_xla(devices):
                    peft=PEFTConfig(method="lora", encoder="image"),
                    mesh_shape=(8, 1))
     tr = T(cfg, train_dataset=train, test_dataset=test)
+    # pure-DP mesh: shard_map train step keeps pallas, eval on einsum
     assert tr._attn_impl == "xla"
+    assert tr._train_attn_impl is None and tr._dp_mesh is not None
+    cfg2 = tiny_cfg(method="lora-clip",
+                    peft=PEFTConfig(method="lora", encoder="image"),
+                    mesh_shape=(4, 2))
+    tr2 = T(cfg2, train_dataset=train, test_dataset=test)
+    # model-axis mesh: everything einsum, GSPMD owns the partitioning
+    assert tr2._attn_impl == "xla"
+    assert tr2._train_attn_impl == "xla" and tr2._dp_mesh is None
     cfg1 = tiny_cfg(method="lora-clip",
                     peft=PEFTConfig(method="lora", encoder="image"))
     tr1 = T(cfg1, train_dataset=train, test_dataset=test)
-    assert tr1._attn_impl is None
+    assert tr1._attn_impl is None and tr1._train_attn_impl is None
+
+
+def test_dp_shard_map_step_matches_jit(devices):
+    """The shard_map DP train step (engine dp_mesh=) must reproduce the
+    plain jitted step's loss and updated trainables: per-shard grads are
+    means over local rows, pmean over equal shards = the global batch
+    mean. Augmentation is disabled so both paths draw identical RNG
+    (shard_map folds the shard index into the aug/mix streams)."""
+    peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    peft = build_peft(jax.random.PRNGKey(1), TINY, peft_cfg)
+    tx = make_optimizer("adamw", 1e-3)
+    state = TrainState.create(trainable=peft, frozen=params, tx=tx,
+                              rng=jax.random.PRNGKey(2))
+    kw = dict(image_size=32, mean=(0.5,) * 3, std=(0.25,) * 3,
+              compute_dtype=jnp.float32, donate=False, augment=False)
+    mesh = mesh_lib.make_mesh((8, 1))
+    step_sm = make_train_step(TINY, peft_cfg, tx, dp_mesh=mesh, **kw)
+    step_jit = make_train_step(TINY, peft_cfg, tx, **kw)
+    batch = _make_batch(b=16)
+    # images enter the step raw-cast (augment=False), so numerics match
+    sharded = {k: jax.device_put(
+        v, NamedSharding(mesh, P("data") if k in ("images", "labels")
+                         else P()))
+        for k, v in batch.items()}
+    s_sm, m_sm = step_sm(state, sharded)
+    s_jit, m_jit = step_jit(state, batch)
+    _assert_learns(m_jit["loss"], state.trainable, s_jit.trainable)
+    np.testing.assert_allclose(float(m_sm["loss"]), float(m_jit["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_sm["acc"]), float(m_jit["acc"]),
+                               rtol=1e-6)
+    _tree_allclose(s_sm.trainable, s_jit.trainable)
+    # a model-axis mesh is rejected by the dp path
+    with pytest.raises(ValueError):
+        make_train_step(TINY, peft_cfg, tx,
+                        dp_mesh=mesh_lib.make_mesh((4, 2)), **kw)
 
 
 def test_fused_block_shard_map_dp(devices):
