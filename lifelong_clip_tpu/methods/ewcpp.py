@@ -9,6 +9,14 @@ snapshotted (``online_after_task():135-158``, online_reg single slot).
 
 The whole double-update + Fisher bookkeeping is ONE jitted step threading
 an explicit ``ewc_state`` pytree — no retain_graph / .grad plumbing.
+
+Two protocol-visible reference semantics mirrored exactly (r4, found
+building the whole-run parity): torch accumulates ``.grad`` across the
+two backwards (``zero_grad`` runs once at the top of ``online_train``),
+so the second update and the fisher/score EMA see g1+g2, not g2 alone;
+and the regularized set is ``named_parameters()[:-2]`` — the classifier
+head is never penalized (with a head-only trainable tree EWC++ is
+exactly a double CE update).
 """
 
 from __future__ import annotations
@@ -24,6 +32,14 @@ from ..ops import preprocess
 from .base import pad_batch
 from .engine import TrainState
 from .er_baseline import ER, head_forward
+
+
+def _reg_scope(tree):
+    """Drop the classifier head from the regularized set: the reference
+    regularizes ``named_parameters()[:-2]`` (ewcpp.py:27-30) — every
+    parameter EXCEPT the head's weight/bias (the head grows with the
+    class vocabulary and is deliberately left unconstrained)."""
+    return {k: v for k, v in tree.items() if k != "head"}
 
 
 class EWCpp(ER):
@@ -85,31 +101,53 @@ class EWCpp(ER):
                                        state.trainable)
             params_mid = optax.apply_updates(state.trainable, up1)
 
-            # pass 2: CE + EWC penalty at the updated point
+            # pass 2: CE + EWC penalty at the updated point. The penalty
+            # covers ``named_parameters()[:-2]`` in the reference
+            # (ewcpp.py:27-30) — every parameter EXCEPT the classifier
+            # head's weight/bias, so the head is never regularized; with a
+            # head-only trainable tree the step degenerates to the
+            # reference's double CE update.
             def reg_objective(trainable):
                 loss, acc = ce_loss(trainable, state.frozen, images, batch)
                 penalty = jax.tree.map(
                     lambda imp, p, p0: jnp.sum(imp * (p - p0) ** 2),
-                    ewc["importance"], trainable, ewc["task_param"])
+                    _reg_scope(ewc["importance"]), _reg_scope(trainable),
+                    _reg_scope(ewc["task_param"]))
                 reg = sum(jax.tree.leaves(penalty))
                 return loss + reg_coef * ewc["has_reg"] * reg, acc
 
             (loss2, acc), grads2 = jax.value_and_grad(
                 reg_objective, has_aux=True)(params_mid)
+            # torch never zero_grads between the two backwards
+            # (online_train():93-120 calls zero_grad once at the top), so
+            # the second optimizer.step() and the fisher/score bookkeeping
+            # both see the ACCUMULATED gradient g1 + g2
+            grads2 = jax.tree.map(jnp.add, grads1, grads2)
             up2, opt2 = self.tx.update(grads2, opt1, params_mid)
             params_new = optax.apply_updates(params_mid, up2)
 
-            # fisher EMA + path-integral score (reference :161-187)
+            # fisher EMA + path-integral score (reference :161-187) —
+            # old_grad = g1, new_grad = g1+g2 (accumulated), so the score
+            # increment is (old - new) = -g2; a leaf with any inf/nan in
+            # params or grads skips its update (reference :166-171 guard)
             def upd_score(s, g1, g2, pn, pm, f):
                 denom = 0.5 * f * (pn - pm) ** 2 + eps
-                return s + (g1 - g2) * (pn - pm) / denom
+                ok = (jnp.all(jnp.isfinite(pn)) & jnp.all(jnp.isfinite(pm))
+                      & jnp.all(jnp.isfinite(g1)) & jnp.all(jnp.isfinite(g2)))
+                return jnp.where(ok, s + (g1 - g2) * (pn - pm) / denom, s)
 
             score = jax.tree.map(upd_score, ewc["score"], grads1, grads2,
                                  params_new, params_mid, ewc["fisher"])
-            fisher = jax.tree.map(
-                lambda f, g: jnp.where(jnp.all(f == 0), g ** 2,
-                                       (1 - alpha) * f + alpha * g ** 2),
-                ewc["fisher"], grads2)
+
+            def upd_fisher(f, g, pn, pm, g1):
+                new = jnp.where(jnp.all(f == 0), g ** 2,
+                                (1 - alpha) * f + alpha * g ** 2)
+                ok = (jnp.all(jnp.isfinite(pn)) & jnp.all(jnp.isfinite(pm))
+                      & jnp.all(jnp.isfinite(g1)) & jnp.all(jnp.isfinite(g)))
+                return jnp.where(ok, new, f)
+
+            fisher = jax.tree.map(upd_fisher, ewc["fisher"], grads2,
+                                  params_new, params_mid, grads1)
             new_ewc = dict(ewc, fisher=fisher, score=score)
             new_state = state.replace(step=state.step + 2,
                                       trainable=params_new,

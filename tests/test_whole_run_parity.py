@@ -492,7 +492,10 @@ def ref_env(tmp_path_factory):
             return build_ref_vitmvp_model(), 32
         if method in ("er", "lwf"):
             return build_ref_head_model(train_backbone=False), 32
-        if method == "Finetuning":
+        if method in ("Finetuning", "ewc++"):
+            # ewc++ with a trainable backbone so the fisher/penalty set
+            # (named_parameters()[:-2] — everything but the head) is
+            # non-empty and the regularization math actually executes
             return build_ref_head_model(train_backbone=True), 32
         if method == "continual-clip":
             import models.continual_clip as ref_czs_model_mod
@@ -516,6 +519,7 @@ def ref_env(tmp_path_factory):
     import methods.er_baseline as ref_er_trainer  # noqa: E402
     import methods.finetuning as ref_ft_trainer  # noqa: E402
     import methods.lwf as ref_lwf_trainer  # noqa: E402
+    import methods.ewcpp as ref_ewcpp_trainer  # noqa: E402
 
     # CPU DataParallel so online_step's `.module` works (the nohup.out
     # crash in the reference comes from the missing wrap on 1 GPU).
@@ -542,6 +546,7 @@ def ref_env(tmp_path_factory):
         er_trainer_cls=ref_er_trainer.ER,
         ft_trainer_cls=ref_ft_trainer.FT,
         lwf_trainer_cls=ref_lwf_trainer.LwF,
+        ewcpp_trainer_cls=ref_ewcpp_trainer.EWCpp,
         build_ref_head_model=build_ref_head_model,
         build_ref_mvp_model=build_ref_mvp_model,
         build_ref_maple_model=build_ref_maple_model,
@@ -1917,7 +1922,8 @@ def _run_reference_erfam(ref_env, method: str):
     _patch_memory_loader_workers(ref_er_mod)
     cls = {"er": ref_env.er_trainer_cls,
            "Finetuning": ref_env.ft_trainer_cls,
-           "lwf": ref_env.lwf_trainer_cls}[method]
+           "lwf": ref_env.lwf_trainer_cls,
+           "ewc++": ref_env.ewcpp_trainer_cls}[method]
     tr = cls(**_erfam_ref_kwargs(str(ref_env.tmp / f"erfam_{method}"),
                                  method))
     tr.memory_batchsize = 1  # defect #4 (ER's per-step DataLoader)
@@ -1969,13 +1975,14 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
     from lifelong_clip_tpu.config import TrainConfig, PEFTConfig, \
         StreamConfig
     import lifelong_clip_tpu.methods.er_baseline as ours_er_mod
+    import lifelong_clip_tpu.methods.ewcpp as ours_ewc_mod
     import lifelong_clip_tpu.methods.lwf as ours_lwf_mod
     from lifelong_clip_tpu.methods.engine import TrainState
     from lifelong_clip_tpu.models.convert import load_clip_params
     from lifelong_clip_tpu.ops import preprocess as prep
 
     ref_m = ref_env.build_ref_head_model(
-        train_backbone=(method == "Finetuning"))
+        train_backbone=(method in ("Finetuning", "ewc++")))
     ckpt = tmp_path / f"tiny_head_{method}.pt"
     torch.save(ref_m.backbone.state_dict(), str(ckpt))
     head_w = jnp.asarray(ref_m.head.weight.detach().numpy().T)
@@ -1985,8 +1992,13 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
                         lambda *a, **k: load_clip_params(str(ckpt)))
     monkeypatch.setattr(prep, "make_train_pipeline", _det_pipeline)
 
+    class _EWCppFT(ours_ewc_mod.EWCpp):
+        # reference ewc++ here runs over the train_backbone head model so
+        # its fisher/penalty set (everything but the head) is non-empty
+        train_backbone = True
+
     base_cls = {"er": ours_er_mod.ER, "Finetuning": ours_er_mod.FT,
-                "lwf": ours_lwf_mod.LwF}[method]
+                "lwf": ours_lwf_mod.LwF, "ewc++": _EWCppFT}[method]
     accs, losses = [], []
 
     class ParityER(base_cls):
@@ -2008,7 +2020,10 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
                      "mask": jnp.asarray(self.vocab.logit_mask())}
             stats = {}
             for _ in range(max(int(cfg.online_iter), 1)):
-                if method == "lwf" and self._old_trainable is not None:
+                if method == "ewc++":
+                    self.state, self.ewc_state, stats = self._ewc_step(
+                        self.state, batch, self.ewc_state)
+                elif method == "lwf" and self._old_trainable is not None:
                     self.state, stats = self._kd_step(
                         self.state, batch, self._old_trainable)
                 else:
@@ -2074,3 +2089,15 @@ def test_lwf_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
     _assert_erfam_match(_run_reference_erfam(ref_env, "lwf"),
                         _run_ours_erfam(ref_env, monkeypatch, tmp_path,
                                         "lwf"))
+
+
+def test_ewcpp_whole_run_trajectories_match(ref_env, monkeypatch,
+                                            tmp_path):
+    """Pins the EWC++ composition over a TRAINED backbone: double update
+    per step with torch's accumulated second gradient (g1+g2, zero_grad
+    runs once per step), fisher EMA + path-integral score over everything
+    but the head (named_parameters()[:-2]), task-end importance snapshot,
+    and the quadratic penalty live from task 2 on."""
+    _assert_erfam_match(_run_reference_erfam(ref_env, "ewc++"),
+                        _run_ours_erfam(ref_env, monkeypatch, tmp_path,
+                                        "ewc++"))
