@@ -165,6 +165,13 @@ class TrainConfig:
     # regularization / memory-method knobs (reference config.py:57,77,83)
     reg_coef: float = 100.0      # EWC++ penalty weight
     memory_epoch: int = 0        # Rainbow Memory post-task epochs
+    # Rainbow Memory MC-uncertainty memory rebuild at task boundaries.
+    # OFF by default: the reference ships uncertainty_sampling()/
+    # montecarlo() as DEAD code (rainbow_memory.py:177-285 — no call
+    # site anywhere; its live update_memory is class-balanced random
+    # replacement), so the default mirrors the live reference. The
+    # machinery is a documented capability add behind this flag.
+    rm_uncertainty: bool = False
     imp_update_period: int = 1   # CLIB importance-update cadence
     # CLIB adaptive-LR knobs (reference config.py:78-80)
     lr_step: float = 0.95

@@ -57,6 +57,10 @@ def base_parser() -> argparse.ArgumentParser:
                    help="weighting for the regularization loss term (EWC++)")
     p.add_argument("--memory_epoch", type=int, default=0,
                    help="post-task memory training epochs (Rainbow Memory)")
+    p.add_argument("--rm_uncertainty", action="store_true",
+                   help="Rainbow Memory: rebuild memory by MC vote-ratio "
+                   "uncertainty at task ends (capability add — the "
+                   "reference ships this machinery as dead code)")
     p.add_argument("--imp_update_period", type=int, default=1,
                    help="period between importance updates (CLIB)")
     # CLIB adaptive-LR knobs (reference config.py:78-80)
@@ -151,6 +155,7 @@ def args_to_config(args) -> TrainConfig:
         memory_size=args.memory_size, eval_period=args.eval_period,
         topk=args.topk, visible_classes=args.visible_classes,
         reg_coef=args.reg_coef, memory_epoch=args.memory_epoch,
+        rm_uncertainty=args.rm_uncertainty,
         imp_update_period=args.imp_update_period, lr_step=args.lr_step,
         lr_length=args.lr_length, lr_period=args.lr_period,
         peft=PEFTConfig(method="none", encoder=args.peft_encoder,

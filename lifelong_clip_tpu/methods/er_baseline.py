@@ -65,6 +65,12 @@ class ER(OnlineTrainer):
 
     train_backbone = False
 
+    def _make_tx(self, cfg):
+        """Optimizer hook — RM overrides this with an injectable-LR
+        transform for its per-epoch memory-train schedule."""
+        return make_optimizer(cfg.opt_name, cfg.lr,
+                              sched_name=cfg.sched_name)
+
     def setup_model(self):
         cfg = self.cfg
         self.params, self.clip_cfg = build_clip(
@@ -82,8 +88,7 @@ class ER(OnlineTrainer):
             # the donated state never aliases the same buffers twice
             trainable["backbone"] = self.params
             frozen = {}
-        self.tx = make_optimizer(cfg.opt_name, cfg.lr,
-                                 sched_name=cfg.sched_name)
+        self.tx = self._make_tx(cfg)
         self.state = TrainState.create(trainable=trainable,
                                        frozen=frozen, tx=self.tx,
                                        rng=self.next_rng())

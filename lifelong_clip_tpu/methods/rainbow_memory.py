@@ -1,16 +1,21 @@
-"""Rainbow Memory (RM) — uncertainty-diverse memory + post-task training.
+"""Rainbow Memory (RM) — class-balanced memory + post-task training.
 
-Parity target: reference ``methods/rainbow_memory.py``: online steps train
-on the stream; the episodic memory is rebuilt at task boundaries by
-Monte-Carlo-augmentation uncertainty sampling (``uncertainty_sampling():
-177-218`` — rank candidates per class by prediction instability across
-augmented views, keep an even spread of ranks), with class-balanced random
-replacement during the stream (``update_memory():91-108``); after each task
-the model trains ``memory_epoch`` epochs on memory
+Parity target: reference ``methods/rainbow_memory.py``'s LIVE behavior
+(r4 realignment): each stream batch trains ``online_iter *
+temp_batchsize`` iterations (``online_step():47``); the episodic memory
+does class-balanced RANDOM replacement on every stream sample
+(``update_memory():91-108`` — count the incoming class in, evict a random
+slot of the most-populated class); after each task the model trains
+``memory_epoch`` epochs over memory IN SLOT ORDER with a warm-start LR
+schedule — 0.1·lr, then lr, then cosine-annealing warm restarts
 (``online_memory_train():126-175``).
 
-The MC-augmentation uncertainty is a single jitted call: K augmented views
-are generated and scored on device in one batched forward.
+The Monte-Carlo uncertainty machinery (``uncertainty_sampling()`` /
+``montecarlo()``, reference :177-285) is DEAD code in the reference — no
+call site anywhere — so the task-boundary uncertainty rebuild here is a
+capability add behind ``--rm_uncertainty`` (default off = live
+reference). The MC pass is a single jitted call: 12 augmented views are
+generated and scored on device in one batched forward.
 """
 
 from __future__ import annotations
@@ -41,6 +46,47 @@ def vote_ratio_uncertainty(view_preds, n_classes: int):
 
 class RM(ER):
 
+    def _make_tx(self, cfg):
+        # the memory-train epochs mutate the LR in place (warm start +
+        # cosine restarts) while adam moments persist — inject_hyperparams
+        # makes the LR a mutable leaf of opt_state, same pattern as
+        # CLIB's adaptive LR. The reference pins sched const for RM
+        # (rainbow_memory.py:28) and resets LR to base per task via a
+        # fresh LambdaLR (online_before_task():112).
+        import optax
+        from ..utils.train_utils import make_optimizer as _mk
+        return optax.inject_hyperparams(
+            lambda learning_rate: _mk(cfg.opt_name, learning_rate,
+                                      sched_name="const"))(
+                                          learning_rate=cfg.lr)
+
+    def _set_lr(self, lr: float):
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+
+    @staticmethod
+    def memory_epoch_lr(epoch: int, base_lr: float) -> float:
+        """The reference's per-epoch memory-train LR
+        (online_memory_train():139-151): epoch 0 -> 0.1·base (warm
+        start), epoch 1 -> base, epoch >= 2 -> CosineAnnealingWarmRestarts
+        (T_0=1, T_mult=2, eta_min=0.01·base) stepped once per epoch from
+        a fresh scheduler."""
+        if epoch <= 0:
+            return base_lr * 0.1
+        if epoch == 1:
+            return base_lr
+        eta_min = base_lr * 0.01
+        # replay torch CAWR: T_i starts at 1 and doubles at each restart;
+        # step() advances T_cur and wraps. epoch e applies e-1 steps.
+        t_cur, t_i = 0, 1
+        for _ in range(epoch - 1):
+            t_cur += 1
+            if t_cur >= t_i:
+                t_cur -= t_i
+                t_i *= 2
+        return eta_min + (base_lr - eta_min) * (
+            1 + float(np.cos(np.pi * t_cur / t_i))) / 2
+
     def setup_model(self):
         super().setup_model()
         fwd_predict = self._predict_fn  # slot preds, argmax
@@ -69,6 +115,15 @@ class RM(ER):
         self._mc_uncertainty = mc_disagreement
         self._task_seen: list = []
 
+    def _iters_per_batch(self) -> int:
+        """Reference online_step():47 trains ``int(online_iter) *
+        temp_batchsize * world_size`` iterations per stream batch.
+        temp_batchsize=0 divides by zero in the reference's loss
+        averaging — patched per evident intent to one multiplier."""
+        cfg = self.cfg
+        return max(int(cfg.online_iter), 1) * max(int(cfg.temp_batchsize),
+                                                  1)
+
     def online_step(self, images, labels, indices):
         cfg = self.cfg
         images, labels = self.replay_concat(images, labels)
@@ -79,20 +134,29 @@ class RM(ER):
                  "tokens": self._dummy_tokens,
                  "mask": jnp.asarray(self.vocab.logit_mask())}
         stats = {}
-        for _ in range(max(int(cfg.online_iter), 1)):
+        for _ in range(self._iters_per_batch()):
             self.state, stats = self._train_step(self.state, batch)
-        # track task samples for boundary-time uncertainty sampling
+        # track task samples for the optional boundary-time rebuild
         self._task_seen.extend(int(i) for i in indices)
         if cfg.memory_size > 0:
             for i, lab in zip(indices, labels[:len(indices)]):
-                self.memory.balanced_random_update(int(i), int(lab))
+                self.memory.balanced_random_update(
+                    int(i), int(lab), class_order=self.vocab.exposed)
         return stats
 
     # -- task boundary -----------------------------------------------------
+    def online_before_task(self, task_id):
+        super().online_before_task(task_id)
+        # reference online_before_task():112 installs a fresh constant
+        # LambdaLR, which resets the optimizer LR to base after the
+        # previous task's memory-train schedule left it elsewhere
+        self._set_lr(self.cfg.lr)
+
     def online_after_task(self, task_id):
         cfg = self.cfg
         if cfg.memory_size > 0:
-            self._rebuild_memory_by_uncertainty()
+            if cfg.rm_uncertainty:
+                self._rebuild_memory_by_uncertainty()
             if cfg.memory_epoch > 0:
                 self._memory_train_epochs()
         self._task_seen = []
@@ -143,22 +207,31 @@ class RM(ER):
         self.memory.usage_count = [0] * len(keep_idx)
 
     def _memory_train_epochs(self):
+        """Post-task memory training (reference online_memory_train,
+        rainbow_memory.py:126-175): each epoch walks the memory IN SLOT
+        ORDER, repeated ``len(memory) // batchsize`` times
+        (MemoryOrderedSampler(memory, bs, len//bs) concatenates the full
+        arange per iteration), under the warm-start LR schedule
+        (memory_epoch_lr). n < batchsize zeroes the reference's iteration
+        count (and its loss averaging divides by zero) — patched per
+        intent to skip. Tail batches (when n·iters % bs != 0) pad by
+        whole-batch tiling, which preserves the mean-loss gradient when
+        bs % tail == 0."""
         cfg = self.cfg
         epochs = int(cfg.memory_epoch)  # --memory_epoch (config.py:83)
         n = len(self.memory)
-        if n == 0:
+        iters = n // cfg.batchsize
+        if n == 0 or iters == 0:
             return
         mask = jnp.asarray(self.vocab.logit_mask())
-        for _ in range(epochs):
-            order = self.memory.rng.permutation(n)
-            mem = self.memory.ordered_indices()[order]
-            for lo in range(0, n, cfg.batchsize):
+        for epoch in range(epochs):
+            self._set_lr(self.memory_epoch_lr(epoch, cfg.lr))
+            mem = np.concatenate(
+                [self.memory.ordered_indices()] * iters)
+            for lo in range(0, len(mem), cfg.batchsize):
                 chunk = mem[lo:lo + cfg.batchsize]
                 imgs, labs = self.train_dataset.gather(chunk)
-                imgs, labs, _ = pad_batch(imgs, labs,
-                                          cfg.batchsize * 2
-                                          if cfg.memory_size > 0
-                                          else cfg.batchsize)
+                imgs, labs, _ = pad_batch(imgs, labs, cfg.batchsize)
                 batch = {"images": jnp.asarray(imgs),
                          "labels": jnp.asarray(self.vocab.remap(labs),
                                                jnp.int32),

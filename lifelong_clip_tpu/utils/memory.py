@@ -25,6 +25,7 @@ class ReplayMemory:
 
     def __init__(self, memory_size: int, seed: int = 0):
         self.memory_size = memory_size
+        self._seed = seed
         self.rng = np.random.default_rng(seed)
         self.indices: List[int] = []     # dataset indices
         self.labels: List[int] = []      # class ids
@@ -53,20 +54,47 @@ class ReplayMemory:
 
     # -- class-balanced random policy (Rainbow Memory, reference
     #    methods/rainbow_memory.py:91-108) ----------------------------------
-    def balanced_random_update(self, sample_idx: int, label: int) -> int:
+    def balanced_random_update(self, sample_idx: int, label: int,
+                               class_order: Optional[Sequence[int]] = None
+                               ) -> int:
+        """Reference RM replacement (rainbow_memory.py:96-108): count the
+        incoming sample's class IN, evict a RANDOM slot of the
+        most-populated class (argmax ties break toward the earliest class
+        in ``class_order`` — the reference's exposure-ordered cls_list),
+        then insert. The reference never skips: the incoming sample is
+        always stored, possibly evicting its own class.
+
+        The slot draw comes from a dedicated ``torch.Generator`` (r4;
+        same protocol-RNG rationale as utils/stream.py) so a harness can
+        stream-match the reference's ``torch.randint`` draw exactly.
+        ``class_order`` defaults to first-seen order in memory, which
+        equals exposure order for every class that reached memory."""
         self.seen += 1
         if len(self.indices) < self.memory_size:
             self._append(sample_idx, label)
             return len(self.indices) - 1
         labels = np.asarray(self.labels)
-        counts = np.bincount(labels, minlength=max(labels.max(), label) + 1)
-        heavy = int(counts.argmax())
-        if counts[heavy] <= counts[label] and label != heavy:
-            return -1  # incoming class already over-represented -> skip
+        if class_order is None:
+            order = list(dict.fromkeys(self.labels))
+            if int(label) not in order:
+                order.append(int(label))
+        else:
+            order = [int(c) for c in class_order]
+        counts = np.asarray([(labels == c).sum() for c in order], np.int64)
+        counts[order.index(int(label))] += 1
+        heavy = order[int(np.argmax(counts))]
         slots = np.nonzero(labels == heavy)[0]
-        j = int(self.rng.choice(slots))
+        j = int(slots[self._slot_randint(len(slots))])
         self._replace(j, sample_idx, label)
         return j
+
+    def _slot_randint(self, n: int) -> int:
+        """One draw from the dedicated torch CPU generator (reference
+        update_memory's ``torch.randint(0, len(cand_idx), (1,))``)."""
+        import torch
+        if not hasattr(self, "_torch_gen"):
+            self._torch_gen = torch.Generator().manual_seed(self._seed)
+        return int(torch.randint(0, n, (1,), generator=self._torch_gen))
 
     # -- CLIB: replace the sample whose training contribution is least
     #    (reference methods/clib.py:66-87 + utils/memory.py:29-75) ----------

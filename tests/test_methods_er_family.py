@@ -227,8 +227,11 @@ def test_vote_ratio_uncertainty():
 
 def test_rm_run(synth):  # noqa: F811
     train, test = synth
+    # rm_uncertainty=True exercises the MC vote-ratio rebuild (capability
+    # add behind the flag; the default mirrors the reference's live path
+    # where uncertainty_sampling is dead code)
     cfg = tiny_cfg(method="rm", memory_size=24, online_iter=1,
-                   memory_epoch=1)
+                   memory_epoch=1, rm_uncertainty=True)
     tr = TinyRM(cfg, train_dataset=train, test_dataset=test)
     out = tr.run()
     assert np.isfinite(out["A_last"])
@@ -238,6 +241,34 @@ def test_rm_run(synth):  # noqa: F811
     counts = np.bincount(labels)
     assert counts[counts > 0].max() - counts[counts > 0].min() <= \
         max(2, 24 // 8)
+
+
+def test_rm_default_run_live_reference_path(synth):  # noqa: F811
+    """Default rm (no uncertainty rebuild — the reference's live path):
+    class-balanced random replacement, in-order memory epochs under the
+    warm LR schedule, LR restored to base at the next task start."""
+    from lifelong_clip_tpu.methods.rainbow_memory import RM
+    train, test = synth
+    cfg = tiny_cfg(method="rm", memory_size=16, online_iter=1,
+                   temp_batchsize=2, memory_epoch=3, batchsize=8)
+    tr = TinyRM(cfg, train_dataset=train, test_dataset=test)
+    out = tr.run()
+    assert np.isfinite(out["A_last"])
+    assert len(tr.memory) == 16
+    # epoch LR schedule replays torch CAWR(T_0=1, T_mult=2) exactly
+    base = cfg.lr
+    assert RM.memory_epoch_lr(0, base) == base * 0.1
+    assert RM.memory_epoch_lr(1, base) == base
+    assert RM.memory_epoch_lr(2, base) == base          # restart epoch
+    mid = RM.memory_epoch_lr(3, base)                   # cos(pi/2) point
+    np.testing.assert_allclose(mid, base * 0.01 + (base - base * 0.01) / 2,
+                               rtol=1e-6)
+    assert RM.memory_epoch_lr(4, base) == base          # next restart
+    # the run ends right after the last memory train; its final epoch LR
+    # (f32) is what the state carries
+    np.testing.assert_allclose(
+        float(tr.state.opt_state.hyperparams["learning_rate"]),
+        RM.memory_epoch_lr(int(cfg.memory_epoch) - 1, base), rtol=1e-6)
 
 
 def test_er_cutmix_loss_finite(synth):  # noqa: F811

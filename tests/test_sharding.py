@@ -201,7 +201,7 @@ def test_adapter_trainer_dp_mesh_run(devices):
 def test_trainer_mesh_tp_ep_placement(devices):
     """--mesh 4x2 through the trainer: frozen tower weights TP-sharded,
     MoE expert leaves EP-sharded, and the run still trains (the model
-    axis must not be inert from the CLI — MIGRATION.md promises this)."""
+    axis must not be inert from the CLI — PARITY.md §2.6 promises this)."""
     import sys
     sys.path.insert(0, "tests")
     from test_engine import _TinyMixin, tiny_cfg

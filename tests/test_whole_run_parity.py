@@ -81,6 +81,11 @@ def _install_stubs():
 
         ra.RandAugment = RandAugment
         sys.modules["randaugment"] = ra
+        # rainbow_memory.py:11 imports the SUBMODULE form (used only by
+        # its dead montecarlo path)
+        ra_sub = types.ModuleType("randaugment.randaugment")
+        ra_sub.RandAugment = RandAugment
+        sys.modules["randaugment.randaugment"] = ra_sub
 
     if "ftfy" not in sys.modules:
         ftfy = types.ModuleType("ftfy")
@@ -490,7 +495,7 @@ def ref_env(tmp_path_factory):
             return build_ref_proto_model(kw["args"]), 32
         if method == "mvp":
             return build_ref_vitmvp_model(), 32
-        if method in ("er", "lwf"):
+        if method in ("er", "lwf", "rm"):
             return build_ref_head_model(train_backbone=False), 32
         if method in ("Finetuning", "ewc++"):
             # ewc++ with a trainable backbone so the fisher/penalty set
@@ -520,6 +525,7 @@ def ref_env(tmp_path_factory):
     import methods.finetuning as ref_ft_trainer  # noqa: E402
     import methods.lwf as ref_lwf_trainer  # noqa: E402
     import methods.ewcpp as ref_ewcpp_trainer  # noqa: E402
+    import methods.rainbow_memory as ref_rm_trainer  # noqa: E402
 
     # CPU DataParallel so online_step's `.module` works (the nohup.out
     # crash in the reference comes from the missing wrap on 1 GPU).
@@ -547,6 +553,7 @@ def ref_env(tmp_path_factory):
         ft_trainer_cls=ref_ft_trainer.FT,
         lwf_trainer_cls=ref_lwf_trainer.LwF,
         ewcpp_trainer_cls=ref_ewcpp_trainer.EWCpp,
+        rm_trainer_cls=ref_rm_trainer.RM,
         build_ref_head_model=build_ref_head_model,
         build_ref_mvp_model=build_ref_mvp_model,
         build_ref_maple_model=build_ref_maple_model,
@@ -1913,7 +1920,106 @@ def _erfam_ref_kwargs(log_path: str, method: str):
     # ER's unread memory-sampler length; 1 keeps one train call per
     # online_iter on both sides
     kw.update(method=method, opt_name="adam", temp_batchsize=1)
+    if method == "rm":
+        # a LIVE memory: class-balanced random replacement per stream
+        # sample + 4 post-task memory epochs (warm LR 0.1·lr -> lr ->
+        # cosine-warm-restart points); temp_batchsize=2 makes rm's
+        # iteration count (online_iter * temp_batchsize, online_step():47)
+        # exercise the multi-iteration path
+        kw.update(memory_size=RM_MEMORY, temp_batchsize=2,
+                  memory_epoch=4)
     return kw
+
+
+RM_MEMORY = 32     # rm parity memory size (2 full batches per epoch pass)
+RM_SLOT_SEED = 777  # shared eviction-draw generator seed (both sides)
+
+
+def _patch_reference_rm(tr):
+    """In-harness patches for the reference RM's shipped defects (each
+    per evident intent, same discipline as the other configs):
+
+    1. utils/memory.py Memory.add_new_class is ``pass`` — cls_list /
+       cls_count never grow and replace_data crashes on the empty tensor
+       (the same defect family that blocks CLIB whole-run). The intended
+       growth is spelled out in its own commented lines (memory.py:25-27);
+       restore exactly that. (Restored after the run.)
+    2. memory_batchsize stays 0 (the SHIPPED value, _trainer.py:147 — the
+       replay provider is never read), but online_step still constructs
+       DataLoader(batch_size=0) which raises; clamp the module's
+       DataLoader to batch_size>=1 (never iterated at 0).
+    3. update_memory (rainbow_memory.py:96-108) is re-bound with identical
+       math except (a) ``.squeeze()`` -> ``.reshape(-1)`` — squeeze
+       produces a 0-d cand_idx when the heaviest class holds exactly one
+       slot and ``len()``/indexing crash — and (b) the global-RNG
+       ``torch.randint`` draws from a dedicated seeded generator so the
+       jax side can stream-match the eviction draws exactly (same
+       determinization class as the moe gate-noise patch).
+    """
+    import copy as _copy
+    import torch
+    import torch.utils.data as tud
+    import methods.rainbow_memory as ref_rm_mod
+    import utils.memory as ref_mem_mod
+
+    real_loader = tud.DataLoader
+
+    def clamped_loader(*a, **k):
+        k["num_workers"] = 0
+        if "batch_size" in k:
+            k["batch_size"] = max(1, k["batch_size"])
+        return real_loader(*a, **k)
+
+    ref_rm_mod.DataLoader = clamped_loader
+
+    def fixed_add_new_class(self, cls_list):
+        # memory.py:25-27 (the commented-out intent)
+        self.cls_list = torch.tensor(cls_list)
+        self.cls_count = torch.cat([
+            self.cls_count,
+            torch.zeros(len(self.cls_list) - len(self.cls_count))])
+        self.cls_train_cnt = torch.cat([
+            self.cls_train_cnt,
+            torch.zeros(len(self.cls_list) - len(self.cls_train_cnt))])
+
+    tr._orig_mem_anc = ref_mem_mod.Memory.add_new_class
+    ref_mem_mod.Memory.add_new_class = fixed_add_new_class
+
+    g = torch.Generator().manual_seed(RM_SLOT_SEED)
+
+    def det_update_memory(index, label):
+        # rainbow_memory.py:96-108 verbatim math (see docstring for the
+        # two patches)
+        for x, y in zip(index, label):
+            if len(tr.memory) >= tr.memory_size:
+                label_frequency = _copy.deepcopy(tr.memory.cls_count)
+                label_frequency[tr.exposed_classes.index(y.item())] += 1
+                cls_to_replace = torch.argmax(label_frequency)
+                cand_idx = (tr.memory.labels ==
+                            tr.memory.cls_list[cls_to_replace]
+                            ).nonzero().reshape(-1)
+                idx_to_replace = cand_idx[torch.randint(
+                    0, len(cand_idx), (1,), generator=g)]
+                tr.memory.replace_data([x, y], int(idx_to_replace))
+            else:
+                tr.memory.replace_data([x, y])
+
+    tr.update_memory = det_update_memory
+
+    _orig_omt = tr.online_memory_train
+
+    def omt_with_dataset(*a, **k):
+        # shipped defect: loss_update_dataset is created in
+        # RM.setup_distributed_dataset (rainbow_memory.py:34-38), a hook
+        # _trainer NEVER calls -> AttributeError at the first task end.
+        # The intent is the raw train set under bare ToTensor — exactly
+        # what _trainer.setup_dataset:196-199 already built as
+        # train_dataset (transform=transforms.ToTensor()).
+        if not hasattr(tr, "loss_update_dataset"):
+            tr.loss_update_dataset = tr.train_dataset
+        return _orig_omt(*a, **k)
+
+    tr.online_memory_train = omt_with_dataset
 
 
 def _run_reference_erfam(ref_env, method: str):
@@ -1923,10 +2029,17 @@ def _run_reference_erfam(ref_env, method: str):
     cls = {"er": ref_env.er_trainer_cls,
            "Finetuning": ref_env.ft_trainer_cls,
            "lwf": ref_env.lwf_trainer_cls,
-           "ewc++": ref_env.ewcpp_trainer_cls}[method]
+           "ewc++": ref_env.ewcpp_trainer_cls,
+           "rm": ref_env.rm_trainer_cls}[method]
+    if method == "rm":
+        import methods.rainbow_memory as ref_rm_mod
+        _patch_memory_loader_workers(ref_rm_mod)
     tr = cls(**_erfam_ref_kwargs(str(ref_env.tmp / f"erfam_{method}"),
                                  method))
-    tr.memory_batchsize = 1  # defect #4 (ER's per-step DataLoader)
+    if method == "rm":
+        _patch_reference_rm(tr)
+    else:
+        tr.memory_batchsize = 1  # defect #4 (ER's per-step DataLoader)
     tr.world_size = 1
     # shipped defect: self.mask is read (er_baseline.py:138/145/166) and
     # updated (lwf.py:69) but never CREATED for this family; initialize
@@ -1964,7 +2077,12 @@ def _run_reference_erfam(ref_env, method: str):
         return loss, acc
 
     tr.online_step = record_step
-    tr.run()
+    try:
+        tr.run()
+    finally:
+        if method == "rm":   # un-leak the Memory class patch
+            import utils.memory as ref_mem_mod
+            ref_mem_mod.Memory.add_new_class = tr._orig_mem_anc
     acc = np.load(os.path.join(tr.log_dir, f"seed_{SEED}.npy"))
     return np.asarray(acc, np.float64), np.asarray(losses)
 
@@ -1997,8 +2115,10 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
         # its fisher/penalty set (everything but the head) is non-empty
         train_backbone = True
 
+    import lifelong_clip_tpu.methods.rainbow_memory as ours_rm_mod
     base_cls = {"er": ours_er_mod.ER, "Finetuning": ours_er_mod.FT,
-                "lwf": ours_lwf_mod.LwF, "ewc++": _EWCppFT}[method]
+                "lwf": ours_lwf_mod.LwF, "ewc++": _EWCppFT,
+                "rm": ours_rm_mod.RM}[method]
     accs, losses = [], []
 
     class ParityER(base_cls):
@@ -2011,7 +2131,10 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
                                            tx=self.tx, rng=self.state.rng)
 
         def online_step(self, images, labels, indices):
-            # raw tail batches, memory path inert at memory_size=0
+            # raw tail batches; the reference's replay provider is dead
+            # (memory_batchsize=0, _trainer.py:147) so the train batch is
+            # the stream batch for every config here — rm still WRITES
+            # memory (consumed by the post-task memory epochs)
             cfg = self.cfg
             batch = {"images": jnp.asarray(images),
                      "labels": jnp.asarray(self.vocab.remap(labels),
@@ -2019,7 +2142,10 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
                      "tokens": self._dummy_tokens,
                      "mask": jnp.asarray(self.vocab.logit_mask())}
             stats = {}
-            for _ in range(max(int(cfg.online_iter), 1)):
+            iters = self._iters_per_batch() if method == "rm" \
+                else max(int(cfg.online_iter), 1)
+            tot = 0.0
+            for _ in range(iters):
                 if method == "ewc++":
                     self.state, self.ewc_state, stats = self._ewc_step(
                         self.state, batch, self.ewc_state)
@@ -2028,9 +2154,18 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
                         self.state, batch, self._old_trainable)
                 else:
                     self.state, stats = self._train_step(self.state, batch)
+                tot += float(stats["loss"])
             if method == "lwf":
                 self._old_trainable = self.state.trainable
-            losses.append(float(stats["loss"]))
+            if method == "rm":
+                # production class-balanced replacement, stream-matched
+                # to the reference via the shared eviction generator
+                for i, lab in zip(indices,
+                                  np.asarray(labels)[:len(indices)]):
+                    self.memory.balanced_random_update(
+                        int(i), int(lab), class_order=self.vocab.exposed)
+            # the reference online_step reports the mean over iterations
+            losses.append(tot / iters)
             return stats
 
         def online_after_task(self, task_id):
@@ -2038,18 +2173,25 @@ def _run_ours_erfam(ref_env, monkeypatch, tmp_path, method: str):
             correct, total = self.evaluate()
             accs.append(correct.sum() / max(total.sum(), 1))
 
+    rm_kw = dict(memory_size=RM_MEMORY, temp_batchsize=2,
+                 memory_epoch=4) if method == "rm" \
+        else dict(memory_size=0, temp_batchsize=0)
     cfg = TrainConfig(
-        method="er", dataset="synthetic-20", model_name="ViT-B/16",
+        method=method if method == "rm" else "er",
+        dataset="synthetic-20", model_name="ViT-B/16",
         pretrained_path=str(ckpt), batchsize=BATCH, test_batchsize=32,
-        online_iter=1, temp_batchsize=0, lr=LR, opt_name="adam",
-        sched_name="const", memory_size=0, eval_period=100000,
+        online_iter=1, lr=LR, opt_name="adam",
+        sched_name="const", eval_period=100000,
         visible_classes="batch", peft=PEFTConfig(method="none"),
         stream=StreamConfig(n_tasks=N_TASKS, n=50, m=10, rnd_NM=False,
                             seed=SEED),
-        transforms=(), use_bf16=False, log_path=str(tmp_path), seed=SEED)
+        transforms=(), use_bf16=False, log_path=str(tmp_path), seed=SEED,
+        **rm_kw)
 
     tr = ParityER(cfg, train_dataset=ref_env.ds_train,
                   test_dataset=ref_env.ds_test)
+    if method == "rm":
+        tr.memory._torch_gen = torch.Generator().manual_seed(RM_SLOT_SEED)
     tr.run()
     return np.asarray(accs, np.float64), np.asarray(losses)
 
@@ -2101,3 +2243,16 @@ def test_ewcpp_whole_run_trajectories_match(ref_env, monkeypatch,
     _assert_erfam_match(_run_reference_erfam(ref_env, "ewc++"),
                         _run_ours_erfam(ref_env, monkeypatch, tmp_path,
                                         "ewc++"))
+
+
+def test_rm_whole_run_trajectories_match(ref_env, monkeypatch, tmp_path):
+    """Pins Rainbow Memory's LIVE composition (its MC uncertainty pass is
+    dead code in the reference): online_iter*temp_batchsize iterations
+    per stream batch, class-balanced random replacement per stream sample
+    (increment-then-argmax in exposure order, eviction draws
+    stream-matched through a shared generator), and 4 post-task memory
+    epochs walking memory in slot order under the warm LR schedule
+    (0.1·lr, lr, then cosine-warm-restart points)."""
+    _assert_erfam_match(_run_reference_erfam(ref_env, "rm"),
+                        _run_ours_erfam(ref_env, monkeypatch, tmp_path,
+                                        "rm"))
