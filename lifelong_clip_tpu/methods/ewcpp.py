@@ -171,6 +171,18 @@ class EWCpp(ER):
         self.update_memory(indices, labels[:len(indices)])
         return stats
 
+    # -- checkpoint plumbing: without this a resumed run silently zeroes
+    # the fisher/score EMA and loses the task-end importance + parameter
+    # snapshot (same gap class as CLIB's adaptive-LR state, ADVICE r3) ----
+    def checkpoint_extra(self):
+        return {"ewc": jax.tree.map(lambda a: np.asarray(a),
+                                    self.ewc_state)}
+
+    def restore_extra(self, extra):
+        st = (extra or {}).get("ewc")
+        if st:
+            self.ewc_state = jax.tree.map(jnp.asarray, st)
+
     def online_after_task(self, task_id):
         # importance <- current fisher; snapshot params; reset score
         # (reference online_after_task + calculate_importance)

@@ -161,6 +161,17 @@ class RM(ER):
                 self._memory_train_epochs()
         self._task_seen = []
 
+    # -- checkpoint plumbing: the mid-task candidate pool for the optional
+    # uncertainty rebuild (the live LR rides in opt_state.hyperparams and
+    # the eviction-draw generator in memory.state_dict) --------------------
+    def checkpoint_extra(self):
+        return {"rm": {"task_seen": list(self._task_seen)}}
+
+    def restore_extra(self, extra):
+        st = (extra or {}).get("rm")
+        if st:
+            self._task_seen = list(st["task_seen"])
+
     def _uncertainties(self, indices: np.ndarray) -> np.ndarray:
         bs = self.cfg.batchsize
         mask = jnp.asarray(self.vocab.logit_mask())

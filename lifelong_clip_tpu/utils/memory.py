@@ -240,13 +240,17 @@ class ReplayMemory:
 
     # -- checkpoint state ----------------------------------------------------
     def state_dict(self):
-        return {"memory_size": self.memory_size,
-                "indices": list(self.indices),
-                "labels": list(self.labels),
-                "seen": self.seen,
-                "loss_history": list(self.loss_history),
-                "others_loss_decrease": list(self.others_loss_decrease),
-                "rng_state": self.rng.bit_generator.state}
+        st = {"memory_size": self.memory_size,
+              "indices": list(self.indices),
+              "labels": list(self.labels),
+              "seen": self.seen,
+              "loss_history": list(self.loss_history),
+              "others_loss_decrease": list(self.others_loss_decrease),
+              "rng_state": self.rng.bit_generator.state}
+        if hasattr(self, "_torch_gen"):  # RM eviction-draw stream (r4)
+            st["torch_gen_state"] = np.asarray(
+                self._torch_gen.get_state())
+        return st
 
     def load_state_dict(self, st):
         self.memory_size = st["memory_size"]
@@ -259,3 +263,8 @@ class ReplayMemory:
         self.previous_slots = []
         self.usage_count = [0] * len(self.indices)
         self.rng.bit_generator.state = st["rng_state"]
+        if st.get("torch_gen_state") is not None:
+            import torch
+            self._torch_gen = torch.Generator()
+            self._torch_gen.set_state(
+                torch.from_numpy(np.asarray(st["torch_gen_state"])))

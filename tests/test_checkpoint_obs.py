@@ -218,3 +218,48 @@ def test_zero_shot_eval_applies_text_peft(synth, monkeypatch):  # noqa: F811
     assert captured.get("peft_cfg") is not None \
         and captured["peft_cfg"].on_text()
     assert captured.get("peft") is not None
+
+
+def test_ewcpp_checkpoint_restores_fisher_state(tmp_path, synth):  # noqa: F811
+    """EWC++'s fisher/score EMA, importance, and task-param snapshot
+    survive a round trip — a resumed run must not silently zero the
+    regularization (same gap class as CLIB's adaptive LR)."""
+    from lifelong_clip_tpu.methods.ewcpp import EWCpp
+
+    class T(_TinyMixin, EWCpp):
+        pass
+
+    train, test = synth
+    cfg = tiny_cfg(method="ewc++", online_iter=1, memory_size=8,
+                   ckpt_dir=str(tmp_path / "ewc_ck"))
+    tr = T(cfg, train_dataset=train, test_dataset=test)
+    tr.run()
+    assert float(tr.ewc_state["has_reg"]) == 1.0
+    fisher_mag = sum(float(abs(x).sum()) for x in
+                     jax.tree.leaves(tr.ewc_state["fisher"]))
+    assert fisher_mag > 0
+
+    tr2 = T(cfg, train_dataset=train, test_dataset=test)
+    from lifelong_clip_tpu.utils.checkpoints import restore_trainer
+    restore_trainer(tr2, str(tmp_path / "ewc_ck"))
+    for a, b in zip(jax.tree.leaves(tr.ewc_state),
+                    jax.tree.leaves(tr2.ewc_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_rm_checkpoint_restores_eviction_stream(tmp_path, synth):  # noqa: F811
+    """RM's eviction-draw generator state rides memory.state_dict: a
+    restored memory continues the SAME draw stream, so resumed eviction
+    decisions match an uninterrupted run's."""
+    import torch
+    from lifelong_clip_tpu.utils.memory import ReplayMemory
+
+    mem = ReplayMemory(4, seed=3)
+    for i in range(6):   # 2 evictions consume 2 draws
+        mem.balanced_random_update(i, i % 2)
+    st = mem.state_dict()
+    next_draws = [mem._slot_randint(5) for _ in range(4)]
+
+    mem2 = ReplayMemory(4, seed=999)   # wrong seed on purpose
+    mem2.load_state_dict(st)
+    assert [mem2._slot_randint(5) for _ in range(4)] == next_draws
