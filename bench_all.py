@@ -59,7 +59,11 @@ def make_trainer(method: str, model: str):
         method=method, dataset="synthetic-100", model_name=model,
         batchsize=BATCH, test_batchsize=BATCH, online_iter=1,
         lr=5e-4, memory_size=_MEMORY.get(method, 0),
-        temp_batchsize=BATCH // 2 if method in _MEMORY else 0,
+        # rm trains online_iter*temp_batchsize iterations per stream
+        # batch (reference online_step:47, r4 realignment) — temp=2 keeps
+        # the row a 2-iteration step instead of a 32-iteration sweep
+        temp_batchsize=(2 if method == "rm" else BATCH // 2)
+        if method in _MEMORY else 0,
         eval_period=10 ** 9,
         stream=StreamConfig(n_tasks=2, n=50, m=10, seed=1),
         transforms=("cutmix", "autoaug"), use_bf16=True,
