@@ -75,6 +75,14 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
         self._attn_impl = "xla" if self.mesh is not None else None
         self._train_attn_impl = None if (self.mesh is None or dp_only) \
             else "xla"
+        # eval rides the same shard_map road when its (fixed, tail-tiled)
+        # batch divides the data axis — otherwise a meshed eval
+        # replicates the full batch on every chip via the einsum path
+        eval_dp = dp_only \
+            and cfg.test_batchsize % self.mesh.shape[DATA_AXIS] == 0
+        self._eval_dp_mesh = self.mesh if eval_dp else None
+        self._eval_attn_impl = None if (self.mesh is None or eval_dp) \
+            else "xla"
         log.info("backbone params: %d | trainable PEFT params: %d",
                  param_count(self.params), param_count(self.peft))
 
@@ -112,7 +120,8 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             self.clip_cfg, self.peft_cfg,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
-            compute_dtype=self.compute_dtype, attn_impl=self._attn_impl)
+            compute_dtype=self.compute_dtype,
+            attn_impl=self._eval_attn_impl, dp_mesh=self._eval_dp_mesh)
         self._txt_cache_key = None
 
     def _estimate_steps(self) -> int:

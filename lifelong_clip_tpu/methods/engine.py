@@ -333,7 +333,14 @@ def make_eval_step(clip_cfg: CLIPConfig,
                    image_size: int,
                    mean, std,
                    compute_dtype=jnp.bfloat16,
-                   attn_impl: Optional[str] = None):
+                   attn_impl: Optional[str] = None,
+                   # pure-DP mesh: run the eval batch inside shard_map
+                   # over the data axis — each shard scores its local
+                   # rows with the fused Pallas kernels. Without this a
+                   # meshed eval replicates the FULL batch on every chip
+                   # (GSPMD cannot partition the kernel custom call).
+                   # Requires the eval batch to divide the data axis.
+                   dp_mesh=None):
     """Jitted eval step: images + cached text features -> (preds, logits).
 
     Mirrors reference ``online_evaluate`` (methods/adapter_clip.py:132-176)
@@ -341,7 +348,6 @@ def make_eval_step(clip_cfg: CLIPConfig,
     unexposed class slots.
     """
 
-    @jax.jit
     def eval_step(frozen, trainable, images_u8, txt_features, mask):
         x = images_u8.astype(jnp.float32) / 255.0
         x = preprocess.resize_bilinear(x, image_size)
@@ -360,4 +366,11 @@ def make_eval_step(clip_cfg: CLIPConfig,
         logits = logits + mask[None, :]
         return jnp.argmax(logits, axis=-1), logits
 
-    return eval_step
+    if dp_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+        eval_step = jax.shard_map(
+            eval_step, mesh=dp_mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False)
+    return jax.jit(eval_step)

@@ -49,7 +49,9 @@ def _argv(method, log_path):
     if method not in _WITH_AUG:
         argv.append("--transforms")  # nargs="*" -> empty list
     if method == "rm":
-        argv += ["--memory_epoch", "1"]
+        # exercise both the live memory-epoch path and the opt-in MC
+        # uncertainty rebuild (r4 flag)
+        argv += ["--memory_epoch", "1", "--rm_uncertainty"]
     return argv
 
 

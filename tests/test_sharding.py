@@ -304,6 +304,33 @@ def test_dp_shard_map_step_matches_jit(devices):
                         dp_mesh=mesh_lib.make_mesh((4, 2)), **kw)
 
 
+def test_dp_shard_map_eval_matches_jit(devices):
+    """The shard_map DP eval step scores each shard's local rows and must
+    reproduce the plain jitted eval exactly (deterministic path — no rng
+    in eval)."""
+    from lifelong_clip_tpu.methods.engine import make_eval_step
+    peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4)
+    params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    peft = build_peft(jax.random.PRNGKey(1), TINY, peft_cfg)
+    kw = dict(image_size=32, mean=(0.5,) * 3, std=(0.25,) * 3,
+              compute_dtype=jnp.float32)
+    mesh = mesh_lib.make_mesh((8, 1))
+    ev_sm = make_eval_step(TINY, peft_cfg, dp_mesh=mesh, **kw)
+    ev = make_eval_step(TINY, peft_cfg, **kw)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.integers(0, 255, (16, 32, 32, 3), np.uint8))
+    txt = jax.random.normal(jax.random.PRNGKey(4), (8, TINY.embed_dim))
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    mask = jnp.zeros((8,), jnp.float32)
+    p_sm, l_sm = ev_sm(params, {"vision": peft["vision"]}, images, txt,
+                       mask)
+    p, l = ev(params, {"vision": peft["vision"]}, images, txt, mask)
+    np.testing.assert_array_equal(np.asarray(p_sm), np.asarray(p))
+    np.testing.assert_allclose(np.asarray(l_sm), np.asarray(l),
+                               rtol=1e-5, atol=1e-5)
+    assert len(np.unique(np.asarray(p))) > 1  # non-degenerate predictions
+
+
 def test_fused_block_shard_map_dp(devices):
     """Pallas×sharding pin, kernel half: the fused LN+attention block run
     per-shard inside shard_map (x sharded over 'data', weights
