@@ -206,7 +206,15 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             self._txt_cache_key = key
 
     def predict(self, images):
+        images = jnp.asarray(images)
+        if self.mesh is not None and self._eval_dp_mesh is None \
+                and images.shape[0] % self.mesh.shape["data"] == 0:
+            # model-axis meshes run eval through the einsum route — give
+            # GSPMD a batch-sharded operand so it distributes the batch
+            # instead of replicating the whole program on every chip
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            images = jax.device_put(
+                images, NamedSharding(self.mesh, P("data")))
         preds, _ = self._eval_fn(self.state.frozen, self.state.trainable,
-                                 jnp.asarray(images), self._txt_cache,
-                                 self._mask)
+                                 images, self._txt_cache, self._mask)
         return preds
