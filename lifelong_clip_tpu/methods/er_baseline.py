@@ -97,6 +97,22 @@ class ER(OnlineTrainer):
         import functools
         fwd = functools.partial(head_forward, clip_cfg=self.clip_cfg,
                                 compute_dtype=self.compute_dtype)
+        # pure-DP meshes run the step inside shard_map (fused kernels
+        # survive multi-chip DP, grads pmean over ICI — same road as
+        # AdapterCLIP; see engine.make_train_step). Both the stream-step
+        # and the memory-epoch batch shapes must divide the data axis.
+        # jit(shard_map) places unsharded inputs per its specs, so no
+        # explicit state/batch placement is needed here. Subclass-owned
+        # steps (ewc++/lwf-KD/clib) stay replicated under a mesh.
+        dp_only = None
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+            n = self.mesh.shape[DATA_AXIS]
+            if self.mesh.shape[MODEL_AXIS] == 1 \
+                    and self._step_bs() % n == 0 \
+                    and cfg.batchsize % n == 0:
+                dp_only = self.mesh
+        self._dp_mesh = dp_only
         self._train_step = remat_fallback(lambda fb: make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
@@ -104,6 +120,7 @@ class ER(OnlineTrainer):
             use_autoaug="autoaug" in cfg.transforms,
             use_cutmix="cutmix" in cfg.transforms,
             compute_dtype=self.compute_dtype, forward_fn=fwd,
+            dp_mesh=self._dp_mesh,
             # fb: engine.remat_fallback retry after a compile-time HBM OOM
             remat=cfg.remat or cfg.batchsize >= 256 or fb))
 
