@@ -83,27 +83,35 @@ class OnlineTrainer:
         self.setup_model()
 
     def _setup_run_logger(self):
-        """Per-run ``log.txt`` in the run dir via a root-logger file
-        handler — the reference's artifact schema includes it
-        (``methods/_trainer.py:486-503``, rank-0 ``setup_root_logger``).
-        One handler per process: a new trainer re-points it (tests build
-        many trainers; accumulating handlers would duplicate lines)."""
-        root = logging.getLogger()
-        for h in list(root.handlers):
-            if getattr(h, "_llc_run_log", False):
-                root.removeHandler(h)
-                h.close()
+        """Per-run ``log.txt`` in the run dir — the reference's artifact
+        schema includes it (``methods/_trainer.py:486-503``, rank-0
+        ``setup_root_logger``). The handler attaches to the PACKAGE
+        logger, not root: an embedding application's root config (level,
+        handlers) stays untouched, and everything this framework logs
+        flows through the package logger anyway. One handler per process
+        (tests build many trainers; accumulating handlers would duplicate
+        lines); ``run()`` detaches it when the run finishes."""
+        pkg = logging.getLogger("lifelong_clip_tpu")
+        self._teardown_run_logger()
         fh = logging.FileHandler(
             os.path.join(self.result_dir(), "log.txt"))
         fh.setFormatter(logging.Formatter(
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
         fh.setLevel(logging.INFO)
         fh._llc_run_log = True
-        root.addHandler(fh)
-        if root.level > logging.INFO:
-            # basicConfig may not have run (library use); the file
-            # handler must still see INFO records
-            root.setLevel(logging.INFO)
+        pkg.addHandler(fh)
+        if pkg.getEffectiveLevel() > logging.INFO:
+            # library use without basicConfig: the file handler must
+            # still see INFO records (scoped to the package logger)
+            pkg.setLevel(logging.INFO)
+
+    @staticmethod
+    def _teardown_run_logger():
+        pkg = logging.getLogger("lifelong_clip_tpu")
+        for h in list(pkg.handlers):
+            if getattr(h, "_llc_run_log", False):
+                pkg.removeHandler(h)
+                h.close()
 
     # -- to be provided by method subclasses ---------------------------------
     def setup_model(self):
@@ -174,7 +182,12 @@ class OnlineTrainer:
                 self.online_after_task(task_id)
                 self._task_end_eval(task_id)
                 self._maybe_checkpoint(task_id)
-        return self.save_result()
+        try:
+            return self.save_result()
+        finally:
+            # stop appending process-wide records to a finished run's
+            # log.txt (a next trainer would otherwise re-point it anyway)
+            self._teardown_run_logger()
 
     def _maybe_checkpoint(self, task_id: int):
         ckpt_dir = getattr(self.cfg, "ckpt_dir", "") or \

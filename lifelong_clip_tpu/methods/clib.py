@@ -34,8 +34,16 @@ class CLIB(ER):
 
     ema_ratio = 0.90
 
-    def setup_model(self):
+    def _make_tx(self, cfg):
         # adaptive LR needs a mutable learning rate -> inject_hyperparams
+        # (built through ER's optimizer seam so the shared state/step all
+        # bind the SAME transform; the old post-setup rebuild left ER's
+        # _train_step closed over a discarded optimizer)
+        import optax as _optax
+        return _optax.inject_hyperparams(_optax.adamw)(
+            learning_rate=cfg.lr)
+
+    def setup_model(self):
         cfg = self.cfg
         self._lr_high = cfg.lr
         # reference clib.py:37: low_lr = lr_step * lr
@@ -49,13 +57,6 @@ class CLIB(ER):
             self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
             out_dtype=self.compute_dtype)
-
-        import optax as _optax
-        self.tx = _optax.inject_hyperparams(_optax.adamw)(
-            learning_rate=cfg.lr)
-        self.state = TrainState.create(trainable=self.state.trainable,
-                                       frozen=self.params, tx=self.tx,
-                                       rng=self.next_rng())
 
         def step(state: TrainState, batch):
             rng, aug_rng = jax.random.split(state.rng)
@@ -147,9 +148,7 @@ class CLIB(ER):
         self._mem_dropped_idx = []     # slots written since last loss sweep
         self._set_lr(self._lr_high)
 
-    def _set_lr(self, lr: float):
-        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            lr, jnp.float32)
+    # _set_lr inherited from ER (shared inject_hyperparams plumbing)
 
     # -- checkpoint plumbing: without this a resumed run silently resets
     # the adaptive-LR state machine and attributes the first post-resume

@@ -66,10 +66,18 @@ class ER(OnlineTrainer):
     train_backbone = False
 
     def _make_tx(self, cfg):
-        """Optimizer hook — RM overrides this with an injectable-LR
-        transform for its per-epoch memory-train schedule."""
+        """Optimizer hook — CLIB/RM override this with an
+        ``optax.inject_hyperparams`` transform so ``_set_lr`` can mutate
+        the live learning rate (adaptive LR / memory-epoch schedule)."""
         return make_optimizer(cfg.opt_name, cfg.lr,
                               sched_name=cfg.sched_name)
+
+    def _set_lr(self, lr: float):
+        """Mutate the injected learning rate in place (adam moments
+        persist). Requires ``_make_tx`` to build an inject_hyperparams
+        transform."""
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
 
     def setup_model(self):
         cfg = self.cfg

@@ -60,9 +60,7 @@ class RM(ER):
                                       sched_name="const"))(
                                           learning_rate=cfg.lr)
 
-    def _set_lr(self, lr: float):
-        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
-            lr, jnp.float32)
+    # _set_lr inherited from ER (shared inject_hyperparams plumbing)
 
     @staticmethod
     def memory_epoch_lr(epoch: int, base_lr: float) -> float:
@@ -126,6 +124,11 @@ class RM(ER):
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
+        # memory stores STREAM samples only — snapshot before the replay
+        # concat/pad reshuffles labels (reference update_memory(idx,
+        # labels) receives the pure stream labels; pairing indices with
+        # post-concat labels would poison the class-balanced counts)
+        stream_labels = labels
         images, labels = self.replay_concat(images, labels)
         images, labels, _ = pad_batch(images, labels, self._step_bs())
         y = self.vocab.remap(labels)
@@ -139,7 +142,7 @@ class RM(ER):
         # track task samples for the optional boundary-time rebuild
         self._task_seen.extend(int(i) for i in indices)
         if cfg.memory_size > 0:
-            for i, lab in zip(indices, labels[:len(indices)]):
+            for i, lab in zip(indices, stream_labels[:len(indices)]):
                 self.memory.balanced_random_update(
                     int(i), int(lab), class_order=self.vocab.exposed)
         return stats
@@ -225,9 +228,11 @@ class RM(ER):
         arange per iteration), under the warm-start LR schedule
         (memory_epoch_lr). n < batchsize zeroes the reference's iteration
         count (and its loss averaging divides by zero) — patched per
-        intent to skip. Tail batches (when n·iters % bs != 0) pad by
-        whole-batch tiling, which preserves the mean-loss gradient when
-        bs % tail == 0."""
+        intent to skip. Tail batches (when n·iters % bs != 0) run
+        unpadded, exactly like the reference DataLoader's short final
+        batch (tiling would over-weight the leading rows); the shard_map
+        DP mesh needs divisible shapes, so only there the tail pads by
+        tiling."""
         cfg = self.cfg
         epochs = int(cfg.memory_epoch)  # --memory_epoch (config.py:83)
         n = len(self.memory)
@@ -242,7 +247,17 @@ class RM(ER):
             for lo in range(0, len(mem), cfg.batchsize):
                 chunk = mem[lo:lo + cfg.batchsize]
                 imgs, labs = self.train_dataset.gather(chunk)
-                imgs, labs, _ = pad_batch(imgs, labs, cfg.batchsize)
+                if len(labs) < cfg.batchsize:
+                    # the reference's DataLoader trains the tail as its
+                    # own smaller batch (unweighted mean over the tail
+                    # rows) — tiling would over-weight the leading rows
+                    # whenever bs % tail != 0. Run it unpadded (one extra
+                    # trace at the tail shape); under the shard_map DP
+                    # mesh the tail must divide the axis, so pad-tile
+                    # there as a documented approximation.
+                    if self._dp_mesh is not None:
+                        imgs, labs, _ = pad_batch(imgs, labs,
+                                                  cfg.batchsize)
                 batch = {"images": jnp.asarray(imgs),
                          "labels": jnp.asarray(self.vocab.remap(labs),
                                                jnp.int32),

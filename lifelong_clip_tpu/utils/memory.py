@@ -82,6 +82,14 @@ class ReplayMemory:
             order = [int(c) for c in class_order]
         counts = np.asarray([(labels == c).sum() for c in order], np.int64)
         counts[order.index(int(label))] += 1
+        # intent patch: the argmax winner can hold ZERO stored slots (the
+        # +1 incoming class ties at 1 and wins the earliest-exposed
+        # tie-break while absent from memory) — the reference then indexes
+        # an empty cand_idx and crashes (rainbow_memory.py:104-105);
+        # restrict to classes that actually have a slot to evict
+        stored = counts.copy()
+        stored[order.index(int(label))] -= 1
+        counts[stored == 0] = -1
         heavy = order[int(np.argmax(counts))]
         slots = np.nonzero(labels == heavy)[0]
         j = int(slots[self._slot_randint(len(slots))])

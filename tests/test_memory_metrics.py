@@ -43,6 +43,19 @@ def test_balanced_random_update_targets_heavy_class():
     assert 2 in labels
 
 
+def test_balanced_random_update_zero_slot_winner():
+    """Crash-edge intent patch: when the +1 incoming class ties at 1,
+    wins the earliest-exposed tie-break, and holds ZERO stored slots, the
+    reference indexes an empty cand_idx and dies — the patched eviction
+    restricts the argmax to classes that actually have a slot."""
+    mem = ReplayMemory(2, seed=0)
+    mem.balanced_random_update(0, 5, class_order=[3, 5, 7])
+    mem.balanced_random_update(1, 7, class_order=[3, 5, 7])
+    j = mem.balanced_random_update(2, 3, class_order=[3, 5, 7])
+    assert j in (0, 1)
+    assert 3 in mem.labels and len(mem) == 2
+
+
 def test_clib_update_evicts_min_others_loss_decrease():
     """Eviction targets the heavy class (counting the incoming label) and
     within it the slot with the smallest others_loss_decrease score —

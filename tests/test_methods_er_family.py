@@ -255,6 +255,12 @@ def test_rm_default_run_live_reference_path(synth):  # noqa: F811
     out = tr.run()
     assert np.isfinite(out["A_last"])
     assert len(tr.memory) == 16
+    # memory stores STREAM samples: every slot's label must be the true
+    # dataset label of its index (regression: replay_concat/pad reshuffled
+    # labels were being paired with stream indices)
+    tgt = np.asarray(train.targets)
+    assert all(int(tgt[i]) == int(l)
+               for i, l in zip(tr.memory.indices, tr.memory.labels))
     # epoch LR schedule replays torch CAWR(T_0=1, T_mult=2) exactly
     base = cfg.lr
     assert RM.memory_epoch_lr(0, base) == base * 0.1

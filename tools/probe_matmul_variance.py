@@ -7,6 +7,13 @@ headline lora-clip train-step chain, N times each — same methodology as
 bench.py (dependent chain closed by a single host fetch, CLAUDE.md
 tunnel-timing rules). Prints every repeat plus mean/std/CV so the
 headline MFU claim carries an honest error bar.
+
+NOTE: the matmul chain, step setup, and analytic FLOP model below
+deliberately MIRROR bench.py's (importing bench.py would run its
+module-level cache/probe setup in-process and perturb the timing being
+measured). If bench.py's FLOP model or headline config changes, update
+this probe in the same commit — the error bar is only meaningful for
+the quantity bench.py reports.
 """
 
 import json
