@@ -74,12 +74,24 @@ class MaPLe(OnlineTrainer):
             lambda frozen, trainable, images, tokens:
             maple_forward(frozen, trainable, images, tokens, self.clip_cfg,
                           self.n_ctx, self.compute_dtype))
+        # pure-DP meshes ride the shard_map road (fused kernels per
+        # shard, grads pmean — same as the adapter/ER families); the
+        # joint-tower forward is replicated-weights/batch-local, exactly
+        # the supported layout
+        dp_only = None
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+            if self.mesh.shape[MODEL_AXIS] == 1 \
+                    and cfg.batchsize % self.mesh.shape[DATA_AXIS] == 0:
+                dp_only = self.mesh
+        self._dp_mesh = dp_only
         self._train_step = remat_fallback(lambda fb: make_train_step(
             self.clip_cfg, self.peft_cfg, self.tx,
             image_size=self.clip_cfg.image_size,
             mean=self.train_dataset.mean, std=self.train_dataset.std,
             use_autoaug="autoaug" in cfg.transforms,
             compute_dtype=self.compute_dtype, forward_fn=fwd,
+            dp_mesh=self._dp_mesh,
             # fb: engine.remat_fallback retry after a compile-time HBM OOM
             remat=cfg.remat or cfg.batchsize >= 256 or fb))
 

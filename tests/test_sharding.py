@@ -304,26 +304,34 @@ def test_dp_shard_map_step_matches_jit(devices):
                         dp_mesh=mesh_lib.make_mesh((4, 2)), **kw)
 
 
-def test_er_trainer_dp_mesh_run(devices):
-    """The ER family rides the shard_map DP road too (r4): a full er run
-    under an 8-way data mesh — stream steps AND the memory path — trains
-    and evaluates. jit(shard_map) places the unsharded trainer inputs per
-    its specs, so no explicit placement code exists in ER."""
+@pytest.mark.parametrize("method", ["er", "maple"])
+def test_family_trainer_dp_mesh_run(devices, method):
+    """The ER and MaPLe families ride the shard_map DP road too (r4): a
+    full run under an 8-way data mesh — stream steps AND (for er) the
+    memory path — trains and evaluates. jit(shard_map) places the
+    unsharded trainer inputs per its specs, so no explicit placement
+    code exists in these trainers."""
     import sys
     sys.path.insert(0, "tests")
     from test_engine import _TinyMixin, tiny_cfg
     from lifelong_clip_tpu.methods.er_baseline import ER
+    from lifelong_clip_tpu.methods.maple import MaPLe
 
-    class T(_TinyMixin, ER):
+    class TER(_TinyMixin, ER):
+        pass
+
+    class TMaple(_TinyMixin, MaPLe):
         pass
 
     from lifelong_clip_tpu.data.registry import make_synthetic
     train = make_synthetic(n_classes=8, per_class=24, image_size=32, seed=0)
     test = make_synthetic(n_classes=8, per_class=6, image_size=32, seed=0,
                           train=False)
-    cfg = tiny_cfg(method="er", online_iter=1, memory_size=16,
+    cfg = tiny_cfg(method=method, online_iter=1,
+                   memory_size=16 if method == "er" else 0,
                    mesh_shape=(8, 1))
-    tr = T(cfg, train_dataset=train, test_dataset=test)
+    tr = (TER if method == "er" else TMaple)(
+        cfg, train_dataset=train, test_dataset=test)
     assert tr._dp_mesh is not None
     out = tr.run()
     assert np.isfinite(out["A_last"])
