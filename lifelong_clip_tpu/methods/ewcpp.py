@@ -158,6 +158,10 @@ class EWCpp(ER):
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
+        # memory stores STREAM samples: snapshot before replay_concat
+        # truncates/reshuffles labels (temp_batchsize > 0 would otherwise
+        # pair stream indices with memory labels)
+        stream_labels = labels
         images, labels = self.replay_concat(images, labels)
         images, labels, _ = pad_batch(images, labels, self._step_bs())
         y = self.vocab.remap(labels)
@@ -168,7 +172,7 @@ class EWCpp(ER):
         for _ in range(max(int(cfg.online_iter), 1)):
             self.state, self.ewc_state, stats = self._ewc_step(
                 self.state, batch, self.ewc_state)
-        self.update_memory(indices, labels[:len(indices)])
+        self.update_memory(indices, stream_labels[:len(indices)])
         return stats
 
     # -- checkpoint plumbing: without this a resumed run silently zeroes

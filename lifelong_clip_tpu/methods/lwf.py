@@ -114,6 +114,10 @@ class LwF(ER):
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
+        # memory stores STREAM samples: snapshot before replay_concat
+        # truncates/reshuffles labels (temp_batchsize > 0 would otherwise
+        # pair stream indices with memory labels)
+        stream_labels = labels
         images, labels = self.replay_concat(images, labels)
         images, labels, _ = pad_batch(images, labels, self._step_bs())
         y = self.vocab.remap(labels)
@@ -135,5 +139,5 @@ class LwF(ER):
         # (lwf.py:50-51), so every iteration of the NEXT step distills
         # from this post-step model
         self._old_trainable = self.state.trainable
-        self.update_memory(indices, labels[:len(indices)])
+        self.update_memory(indices, stream_labels[:len(indices)])
         return stats

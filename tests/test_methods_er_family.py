@@ -299,3 +299,27 @@ def test_er_cutmix_loss_finite(synth):  # noqa: F811
     for _ in range(4):
         stats = tr.online_step(images, labels, idx)
         assert np.isfinite(float(np.asarray(stats["loss"])))
+
+
+@pytest.mark.parametrize("method", ["lwf", "ewc++", "rm"])
+def test_memory_stores_stream_labels(synth, method):  # noqa: F811
+    """Replay memory must pair stream dataset indices with the STREAM
+    labels (regression: with temp_batchsize > 0, replay_concat truncates
+    the stream portion and appends memory labels, and lwf/ewc++/rm were
+    storing those reshuffled labels against stream indices)."""
+    train, test = synth
+    cls = {"lwf": TinyLwF, "ewc++": TinyEWC, "rm": TinyRM}[method]
+    cfg = tiny_cfg(method=method, online_iter=1, memory_size=8,
+                   temp_batchsize=2)
+    tr = cls(cfg, train_dataset=train, test_dataset=test)
+    tr.online_before_task(0)
+    tgt = np.asarray(train.targets)
+    bs = cfg.batchsize
+    for lo in range(0, 3 * bs, bs):
+        idx = np.arange(lo, lo + bs)
+        images, labels = train.gather(idx)
+        tr.vocab.expose(labels)
+        tr.online_step(images, labels, idx)
+    assert len(tr.memory) > 0
+    assert all(int(tgt[i]) == int(l)
+               for i, l in zip(tr.memory.indices, tr.memory.labels))
