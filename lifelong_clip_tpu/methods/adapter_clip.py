@@ -206,9 +206,10 @@ class AdapterCLIP(_MeshMixin, OnlineTrainer):
             self._txt_cache_key = key
 
     def predict(self, images):
+        from ..parallel.mesh import DATA_AXIS
         images = jnp.asarray(images)
         if self.mesh is not None and self._eval_dp_mesh is None \
-                and images.shape[0] % self.mesh.shape["data"] == 0:
+                and images.shape[0] % self.mesh.shape[DATA_AXIS] == 0:
             # model-axis meshes run eval through the einsum route — give
             # GSPMD a batch-sharded operand so it distributes the batch
             # instead of replicating the whole program on every chip

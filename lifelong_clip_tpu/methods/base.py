@@ -99,11 +99,15 @@ class OnlineTrainer:
             "%(asctime)s %(name)s %(levelname)s %(message)s"))
         fh.setLevel(logging.INFO)
         fh._llc_run_log = True
-        pkg.addHandler(fh)
+        fh._llc_prev_level = None
         if pkg.getEffectiveLevel() > logging.INFO:
             # library use without basicConfig: the file handler must
-            # still see INFO records (scoped to the package logger)
+            # still see INFO records (scoped to the package logger).
+            # Remember the level we clobbered so teardown restores the
+            # embedding application's verbosity (ADVICE r4 #2).
+            fh._llc_prev_level = pkg.level
             pkg.setLevel(logging.INFO)
+        pkg.addHandler(fh)
 
     @staticmethod
     def _teardown_run_logger():
@@ -111,6 +115,8 @@ class OnlineTrainer:
         for h in list(pkg.handlers):
             if getattr(h, "_llc_run_log", False):
                 pkg.removeHandler(h)
+                if getattr(h, "_llc_prev_level", None) is not None:
+                    pkg.setLevel(h._llc_prev_level)
                 h.close()
 
     # -- to be provided by method subclasses ---------------------------------
@@ -361,6 +367,48 @@ class OnlineTrainer:
         self.rng, sub = jax.random.split(self.rng)
         return sub
 
+    def resolve_dp_mesh(self, *batch_sizes, allow_model_axis=False):
+        """Resolve the pure-DP shard_map road for this trainer — the ONE
+        multi-chip mechanism every method family shares: the step runs
+        inside ``shard_map`` over the data axis (batch rows local per
+        shard, params replicated, grads ``pmean`` over ICI), which keeps
+        the fused Pallas kernels legal on multi-chip (GSPMD cannot
+        partition their opaque custom calls).
+
+        Returns the mesh when it is pure-DP (model axis 1) and every
+        given batch size divides the data axis; otherwise ``None`` with a
+        one-time warning — the trainer then runs its plain jitted step
+        with unsharded inputs (single-program semantics, never GSPMD
+        through the kernels). Trainers WITHOUT their own model-axis
+        einsum routing (everything except the adapter-clip family) must
+        leave ``allow_model_axis=False`` so a model-axis mesh fails
+        loudly instead of silently hitting unpartitionable kernels.
+
+        Replaces the reference's method-agnostic DataParallel scaffold
+        (``methods/_trainer.py:540-574``) uniformly across methods."""
+        if self.mesh is None:
+            return None
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        if self.mesh.shape[MODEL_AXIS] > 1:
+            if allow_model_axis:
+                return None
+            raise ValueError(
+                f"method {self.cfg.method!r} supports pure data-parallel "
+                f"meshes only (--mesh Nx1); got a model axis of "
+                f"{self.mesh.shape[MODEL_AXIS]}")
+        n = self.mesh.shape[DATA_AXIS]
+        bad = sorted({int(b) for b in batch_sizes if b % n != 0})
+        if bad:
+            if not getattr(self, "_warned_mesh_skip", False):
+                log.warning(
+                    "batch size(s) %s do not divide the %d-way data axis; "
+                    "method %r runs WITHOUT the mesh (single-program "
+                    "step) — pick sizes divisible by the data axis",
+                    bad, n, self.cfg.method)
+                self._warned_mesh_skip = True
+            return None
+        return self.mesh
+
     def _prefetch_place(self):
         """Device-upload hook for the batch prefetcher.
 
@@ -452,9 +500,18 @@ class _MeshMixin:
         n = self.mesh.shape[DATA_AXIS]
 
         def put(k, v):
-            if k in ("images", "labels") and v.shape[0] % n == 0:
-                return jax.device_put(v, NamedSharding(self.mesh,
-                                                       P(DATA_AXIS)))
+            if k in ("images", "labels"):
+                if v.shape[0] % n == 0:
+                    return jax.device_put(v, NamedSharding(self.mesh,
+                                                           P(DATA_AXIS)))
+                if not getattr(self, "_warned_replicated_batch", False):
+                    # correct but a silent n× perf cliff — say so once
+                    log.warning(
+                        "batch dim %d does not divide the %d-way data "
+                        "axis; replicating the batch on every device "
+                        "(pick a batchsize divisible by the mesh)",
+                        v.shape[0], n)
+                    self._warned_replicated_batch = True
             return jax.device_put(v, NamedSharding(self.mesh, P()))
 
         return {k: put(k, jnp.asarray(v)) for k, v in batch.items()}

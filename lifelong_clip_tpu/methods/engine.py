@@ -80,6 +80,40 @@ def remat_fallback(build: Callable[[bool], Callable]) -> Callable:
     return step
 
 
+def dp_shard_map(fn, dp_mesh, in_specs, out_specs):
+    """shard_map wrapper for the pure-DP road shared by every method
+    family: batch rows local per shard, params replicated, reductions
+    (``pmean``/``psum``) done INSIDE ``fn`` by the caller.
+
+    ``check_vma=False`` throughout: the Pallas custom calls declare no
+    varying-mesh-axes info, so shard_map's VMA typer cannot see that the
+    per-shard outputs are batch-local — the wrapper takes responsibility
+    for the layout (pinned by tests/test_sharding.py in interpret mode).
+    """
+    return jax.shard_map(fn, mesh=dp_mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def dp_batch_specs(keys, sharded=("images", "labels")):
+    """PartitionSpec dict for a step's batch: rows sharded over the data
+    axis for per-sample tensors, everything else (class tables, masks,
+    slot maps) replicated."""
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    return {k: P(DATA_AXIS) if k in sharded else P() for k in keys}
+
+
+def dp_fold_rng(dp_axis, *rngs):
+    """Per-shard RNG streams: the state rng is replicated across shards,
+    so fold the shard index in or every shard would draw identical
+    augmentation policies / gate noise for different samples."""
+    if dp_axis is None:
+        return rngs if len(rngs) != 1 else rngs[0]
+    shard = jax.lax.axis_index(dp_axis)
+    out = tuple(jax.random.fold_in(r, shard) for r in rngs)
+    return out if len(out) != 1 else out[0]
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     trainable: Any          # PEFT / prompt / head params (optimized)

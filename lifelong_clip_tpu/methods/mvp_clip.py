@@ -35,9 +35,13 @@ log = logging.getLogger("lifelong_clip_tpu")
 
 
 def mvp_scores(img_f, txt_f, y, cls_mask, class_mask, scale,
-               use_mask: bool, margin: float):
+               use_mask: bool, margin: float, dp_axis=None):
     """(ign_score, cps_score) per sample from detached features
-    (reference _compute_grads + _get_ignore/_get_compensation)."""
+    (reference _compute_grads + _get_ignore/_get_compensation).
+
+    ``dp_axis``: under the shard_map DP road the batch-mean gradient must
+    be the GLOBAL batch's (the reference's single-device semantics), so
+    the per-class mean gradient is pmean'd across shards."""
     img_n = clip_fns.normalize(img_f).astype(jnp.float32)
     txt_n = clip_fns.normalize(txt_f).astype(jnp.float32)
 
@@ -55,6 +59,9 @@ def mvp_scores(img_f, txt_f, y, cls_mask, class_mask, scale,
     sample_grad = jnp.take_along_axis(
         g, y[:, None, None].astype(jnp.int32), axis=1)[:, 0]       # (B, D)
     batch_grad_full = g.mean(axis=0)                               # (C, D)
+    if dp_axis is not None:
+        # equal shard sizes: pmean of per-shard means == global mean
+        batch_grad_full = jax.lax.pmean(batch_grad_full, dp_axis)
     batch_grad = batch_grad_full[y]                                # (B, D)
 
     def cos(a, b, eps=1e-8):
@@ -107,6 +114,12 @@ class CLIP_MVP(OnlineTrainer):
                                        rng=self.next_rng())
         log.info("MVP trainable params: %d", param_count(self.mvp))
         self.step_capacity = min(self.vocab.max_classes, cfg.batchsize)
+        # pure-DP meshes ride the unified shard_map road (batch rows local
+        # per shard, fused kernels legal, grads pmean over ICI); the
+        # count/score reductions are psum/pmean'd inside the step so the
+        # sharded semantics equal the single-program step's
+        self._dp_mesh = self.resolve_dp_mesh(cfg.batchsize)
+        self._eval_dp_mesh = self.resolve_dp_mesh(cfg.test_batchsize)
 
         pipeline = preprocess.make_train_pipeline(
             self.clip_cfg.image_size, self.train_dataset.mean,
@@ -119,11 +132,16 @@ class CLIP_MVP(OnlineTrainer):
         clip_cfg, dt = self.clip_cfg, self.compute_dtype
         use_last_layer = self.use_last_layer
 
+        from ..parallel.mesh import DATA_AXIS
+        from .engine import dp_batch_specs, dp_fold_rng, dp_shard_map
+        dp_axis = DATA_AXIS if self._dp_mesh is not None else None
+
         def _features(frozen, mvp, count, images):
             return mvp_features(frozen, mvp, count, images, clip_cfg,
                                 use_contrastiv=use_contrastiv,
                                 use_last_layer=use_last_layer,
-                                train=True, compute_dtype=dt)
+                                train=True, compute_dtype=dt,
+                                dp_axis=dp_axis)
 
         # --remat / bs>=256 / the engine's OOM fallback: checkpoint the
         # prompted-tower forward (the step's dominant activation holder)
@@ -133,6 +151,7 @@ class CLIP_MVP(OnlineTrainer):
 
         def step(state: TrainState, batch, count):
             rng, aug_rng = jax.random.split(state.rng)
+            aug_rng = dp_fold_rng(dp_axis, aug_rng)
             images = pipeline(aug_rng, batch["images"])
             scale = jnp.exp(state.frozen["logit_scale"]).astype(jnp.float32)
             # slot-gathered per-sample class mask column space
@@ -148,7 +167,8 @@ class CLIP_MVP(OnlineTrainer):
                 ign, cps = mvp_scores(
                     jax.lax.stop_gradient(img), jax.lax.stop_gradient(txt),
                     batch["labels"], jax.lax.stop_gradient(cls_mask),
-                    batch["mask"], scale, use_mask, margin)
+                    batch["mask"], scale, use_mask, margin,
+                    dp_axis=dp_axis)
                 img_used = img / cps[:, None].astype(img.dtype) \
                     if use_afs else img
                 logits = mvp_head(state.frozen, img_used, txt,
@@ -164,8 +184,14 @@ class CLIP_MVP(OnlineTrainer):
                     # mean-reduced when the (B,) ign**gamma broadcast hits
                     # it, so GSF scales the mean loss by mean(ign**gamma)
                     # instead of weighting per-sample CE (the paper's form)
-                    loss = (1 - alpha) * loss + \
-                        alpha * jnp.mean(ign ** gamma) * loss
+                    gsf_w = jnp.mean(ign ** gamma)
+                    if dp_axis is not None:
+                        # global mean BEFORE the product: pmean of
+                        # mean_s(ign^g)·loss_s is not M·L — the scale must
+                        # be the global batch's (ign is stop-gradient, so
+                        # this is a constant in the backward)
+                        gsf_w = jax.lax.pmean(gsf_w, dp_axis)
+                    loss = (1 - alpha) * loss + alpha * gsf_w * loss
                 loss = loss + sim_loss
                 acc = jnp.mean((jnp.argmax(logits, -1) ==
                                 batch["labels"]).astype(jnp.float32))
@@ -173,6 +199,15 @@ class CLIP_MVP(OnlineTrainer):
 
             (loss, (acc, new_count)), grads = jax.value_and_grad(
                 objective, has_aux=True)(state.trainable)
+            if dp_axis is not None:
+                # per-shard means over equal shards -> pmean == the global
+                # batch mean (the DP all-reduce GSPMD would insert); the
+                # e-prompt usage counts are per-row bincounts, so the
+                # global increment is the psum of the local deltas
+                loss, acc, grads = jax.lax.pmean((loss, acc, grads),
+                                                 dp_axis)
+                new_count = count + jax.lax.psum(new_count - count,
+                                                 dp_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
@@ -181,6 +216,14 @@ class CLIP_MVP(OnlineTrainer):
                                       opt_state=opt_state, rng=rng)
             return new_state, new_count, {"loss": loss, "acc": acc}
 
+        if self._dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            step = dp_shard_map(
+                step, self._dp_mesh,
+                in_specs=(P(), dp_batch_specs(
+                    ("images", "labels", "tokens", "mask",
+                     "slot_globals")), P()),
+                out_specs=(P(), P(), P()))
         self._mvp_step = jax.jit(step)
 
         @jax.jit
@@ -188,7 +231,6 @@ class CLIP_MVP(OnlineTrainer):
             return clip_fns.normalize(clip_fns.encode_text(
                 frozen, tokens, clip_cfg, compute_dtype=dt))
 
-        @jax.jit
         def eval_step(frozen, mvp, count, images_u8, txt_features, mask,
                       slot_ids):
             x = images_u8.astype(jnp.float32) / 255.0
@@ -206,9 +248,31 @@ class CLIP_MVP(OnlineTrainer):
                               class_mask=mask, use_mask=use_mask)
             return jnp.argmax(logits, axis=-1), logits
 
+        if self._eval_dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            eval_step = dp_shard_map(
+                eval_step, self._eval_dp_mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P(), P(), P()),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+        eval_step = jax.jit(eval_step)
+
         self._text_fn = text_features
         self._eval_fn = eval_step
         self._txt_cache_n = -1
+
+    # -- checkpoint plumbing: the e-prompt usage-count buffer lives
+    # OUTSIDE TrainState — without this a resumed run resets selection
+    # statistics to zero and re-warms the pool (VERDICT r4 §5.4) ----------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["mvp_clip"] = {"count": np.asarray(self.count)}
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("mvp_clip")
+        if st:
+            self.count = jnp.asarray(st["count"])
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg

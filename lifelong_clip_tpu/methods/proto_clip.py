@@ -98,6 +98,15 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         log.info("ProtoCLIP trainable params: %d", param_count(self.proto))
         self.step_capacity = min(self.vocab.max_classes, cfg.batchsize)
         self.task_count = 0
+        # pure-DP meshes ride the unified shard_map road (VERDICT r4 #1):
+        # stage-1 CE is per-sample decomposable, so batch rows run local
+        # per shard and grads pmean over ICI; eval shards its rows the
+        # same way. A model-axis mesh raises in resolve_dp_mesh (the
+        # prompted proto tower has no einsum routing). Stage 2 and the
+        # prototype/SDC feature sweeps are task-boundary work on small
+        # feature batches — they run replicated under any mesh.
+        self._dp_mesh = self.resolve_dp_mesh(cfg.batchsize)
+        self._eval_dp_mesh = self.resolve_dp_mesh(cfg.test_batchsize)
 
         # prototype storage
         e = self.clip_cfg.embed_dim
@@ -132,8 +141,13 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         # pass already remats internally — models/proto_clip.py:177,443)
         remat_img = cfg.remat or cfg.batchsize >= 256
 
+        from ..parallel.mesh import DATA_AXIS
+        from .engine import dp_batch_specs, dp_fold_rng, dp_shard_map
+        dp_axis = DATA_AXIS if self._dp_mesh is not None else None
+
         def stage1_step(state: TrainState, batch, task_count):
             rng, aug_rng = jax.random.split(state.rng)
+            aug_rng = dp_fold_rng(dp_axis, aug_rng)
             images = pipeline(aug_rng, batch["images"])
 
             def encode_img(proto, images):
@@ -160,6 +174,11 @@ class Trainer_ProtoCLIP(OnlineTrainer):
 
             (loss, acc), grads = jax.value_and_grad(
                 objective, has_aux=True)(state.trainable)
+            if dp_axis is not None:
+                # per-shard means over equal shards -> pmean == the
+                # global batch mean (the DP all-reduce)
+                loss, acc, grads = jax.lax.pmean((loss, acc, grads),
+                                                 dp_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
@@ -167,7 +186,29 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                                  opt_state=opt_state, rng=rng), \
                 {"loss": loss, "acc": acc}
 
-        self._stage1_step = jax.jit(stage1_step, static_argnums=(2,))
+        if self._dp_mesh is not None:
+            # task_count must stay STATIC (it drives pool slicing) while
+            # shard_map sees only array operands: build one wrapped step
+            # per task_count, served from a host-level cache (same
+            # recompile cadence as the static_argnums path below)
+            import functools
+            from jax.sharding import PartitionSpec as P
+
+            @functools.lru_cache(maxsize=None)
+            def _stage1_for(task_count: int):
+                return jax.jit(dp_shard_map(
+                    functools.partial(stage1_step, task_count=task_count),
+                    self._dp_mesh,
+                    in_specs=(P(), dp_batch_specs(
+                        ("images", "labels", "tokens", "mask"))),
+                    out_specs=(P(), P())))
+
+            def _stage1(state, batch, task_count):
+                return _stage1_for(int(task_count))(state, batch)
+
+            self._stage1_step = _stage1
+        else:
+            self._stage1_step = jax.jit(stage1_step, static_argnums=(2,))
 
         def eval_preprocess(images_u8):
             x = images_u8.astype(jnp.float32) / 255.0
@@ -193,8 +234,28 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         # the reference (zoo.py:95-110 eval branch K[0:f]) — a fixed 0
         # froze eval to the first task's slice
         import functools
+        from jax.sharding import PartitionSpec as P
 
-        @functools.partial(jax.jit, static_argnums=(5,))
+        def _jit_eval(body, static_pos, in_specs, out_specs):
+            """Per-task_count eval builder: plain jit+static without a
+            mesh; under the pure-DP road one dp_shard_map-wrapped program
+            per task_count (images/outputs row-sharded, rest replicated),
+            served from a host cache at the same recompile cadence."""
+            if self._eval_dp_mesh is None:
+                return jax.jit(body, static_argnums=(static_pos,))
+
+            @functools.lru_cache(maxsize=None)
+            def _for(tc: int):
+                return jax.jit(dp_shard_map(
+                    functools.partial(body, task_count=tc),
+                    self._eval_dp_mesh, in_specs=in_specs,
+                    out_specs=out_specs))
+
+            def dispatch(*args):
+                return _for(int(args[static_pos]))(*args[:static_pos])
+
+            return dispatch
+
         def eval_logits(frozen, proto, images_u8, tokens, mask,
                         task_count):
             x = eval_preprocess(images_u8)
@@ -210,7 +271,10 @@ class Trainer_ProtoCLIP(OnlineTrainer):
             logits = pc.proto_logits(frozen, img, txt) + mask[None, :]
             return jnp.argmax(logits, axis=-1), logits
 
-        self._eval_fn = eval_logits
+        self._eval_fn = _jit_eval(
+            eval_logits, 5,
+            in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
 
         # eval text cache: per-(sample, class) text features depend on the
         # image only through the ordered top-k prompt selection — at the
@@ -233,7 +297,6 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                     frozen, ctx, tokens, clip_cfg, suffix_len=suffix_len,
                     compute_dtype=dt)
 
-            @functools.partial(jax.jit, static_argnums=(6,))
             def eval_logits_cached(frozen, proto, images_u8, txt_comb,
                                    mask, lookup_tbl, task_count):
                 x = eval_preprocess(images_u8)
@@ -253,7 +316,10 @@ class Trainer_ProtoCLIP(OnlineTrainer):
                 return jnp.argmax(logits, axis=-1), logits
 
             self._comb_text_fn = comb_text_table
-            self._eval_cached_fn = eval_logits_cached
+            self._eval_cached_fn = _jit_eval(
+                eval_logits_cached, 6,
+                in_specs=(P(), P(), P(DATA_AXIS), P(), P(), P()),
+                out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
             self._comb_lookup = jnp.asarray(lookup)
         self._txt_comb = None
 
@@ -359,6 +425,32 @@ class Trainer_ProtoCLIP(OnlineTrainer):
         if task_id > 0 and self.ca_epochs > 0 and self.ca:
             self._stage2(task_id)
         self._task_samples = []
+
+    # -- checkpoint plumbing: prototypes/covariances, the CoPL pool task
+    # counter, and the running task-sample list live OUTSIDE TrainState —
+    # without this a resumed run runs stage 2 / eval over ZEROED
+    # prototypes and slices the wrong pool window (VERDICT r4 §5.4) -------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["proto"] = {
+            "task_count": self.task_count,
+            "class_means": np.asarray(self._class_means),
+            "class_covs": np.asarray(self._class_covs),
+            "have_proto": np.asarray(self._have_proto),
+            "task_samples": list(self._task_samples),
+        }
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("proto")
+        if not st:
+            return
+        self.task_count = int(st["task_count"])
+        self._class_means = np.asarray(st["class_means"], np.float64)
+        self._class_covs = np.asarray(st["class_covs"], np.float64)
+        self._have_proto = np.asarray(st["have_proto"], bool)
+        self._task_samples = list(st["task_samples"])
 
     def _prototype_classes(self, task_id):
         """Classes whose prototypes are built at this task's end: every

@@ -63,16 +63,23 @@ class RM(ER):
     # _set_lr inherited from ER (shared inject_hyperparams plumbing)
 
     @staticmethod
-    def memory_epoch_lr(epoch: int, base_lr: float) -> float:
+    def memory_epoch_lr(epoch: int, base_lr: float,
+                        dataset: str = "") -> float:
         """The reference's per-epoch memory-train LR
-        (online_memory_train():139-151): epoch 0 -> 0.1·base (warm
-        start), epoch 1 -> base, epoch >= 2 -> CosineAnnealingWarmRestarts
-        (T_0=1, T_mult=2, eta_min=0.01·base) stepped once per epoch from
-        a fresh scheduler."""
+        (online_memory_train():126-151): epoch 0 -> 0.1·base (warm
+        start), epoch 1 -> base, epoch >= 2 steps the per-task scheduler
+        once per epoch — MultiStepLR(milestones=[30,60,80,90], gamma=0.1)
+        when ``dataset == 'imagenet'`` (:127-130), otherwise
+        CosineAnnealingWarmRestarts(T_0=1, T_mult=2, eta_min=0.01·base).
+        Epoch e>=2 has taken e-1 scheduler steps, so the MultiStepLR arm
+        is base · 0.1^|{m <= e-1}| in closed form."""
         if epoch <= 0:
             return base_lr * 0.1
         if epoch == 1:
             return base_lr
+        if dataset == "imagenet":
+            decays = sum(1 for m in (30, 60, 80, 90) if m <= epoch - 1)
+            return base_lr * (0.1 ** decays)
         eta_min = base_lr * 0.01
         # replay torch CAWR: T_i starts at 1 and doubles at each restart;
         # step() advances T_cur and wraps. epoch e applies e-1 steps.
@@ -241,7 +248,7 @@ class RM(ER):
             return
         mask = jnp.asarray(self.vocab.logit_mask())
         for epoch in range(epochs):
-            self._set_lr(self.memory_epoch_lr(epoch, cfg.lr))
+            self._set_lr(self.memory_epoch_lr(epoch, cfg.lr, cfg.dataset))
             mem = np.concatenate(
                 [self.memory.ordered_indices()] * iters)
             for lo in range(0, len(mem), cfg.batchsize):

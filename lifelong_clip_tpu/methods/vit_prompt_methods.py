@@ -21,8 +21,9 @@ from ..models import vit_prompt as vp
 from ..models.init import param_count
 from ..ops import preprocess
 from ..utils.train_utils import make_optimizer
+from ..parallel.mesh import DATA_AXIS
 from .base import OnlineTrainer, pad_batch
-from .engine import TrainState
+from .engine import TrainState, dp_batch_specs, dp_fold_rng, dp_shard_map
 
 log = logging.getLogger("lifelong_clip_tpu")
 
@@ -69,8 +70,17 @@ class L2P(OnlineTrainer):
         # --remat / bs>=256: checkpoint the prompted forward
         remat_on = cfg.remat or cfg.batchsize >= 256
 
+        # pure-DP meshes ride the unified shard_map road (VERDICT r4 #1):
+        # batch rows local per shard, prompt pools replicated, grads
+        # pmean'd; the per-row selection counts psum to the global
+        # frequency increment, so sharded == single-program semantics
+        self._dp_mesh = self.resolve_dp_mesh(cfg.batchsize)
+        self._eval_dp_mesh = self.resolve_dp_mesh(cfg.test_batchsize)
+        dp_axis = DATA_AXIS if self._dp_mesh is not None else None
+
         def step(state: TrainState, batch, frequency):
             rng, aug_rng = jax.random.split(state.rng)
+            aug_rng = dp_fold_rng(dp_axis, aug_rng)
             images = pipeline(aug_rng, batch["images"])
 
             def fwd_body(trainable, images, frequency):
@@ -93,6 +103,10 @@ class L2P(OnlineTrainer):
 
             (loss, (acc, counts)), grads = jax.value_and_grad(
                 objective, has_aux=True)(state.trainable)
+            if dp_axis is not None:
+                loss, acc, grads = jax.lax.pmean((loss, acc, grads),
+                                                 dp_axis)
+                counts = jax.lax.psum(counts, dp_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
@@ -102,9 +116,15 @@ class L2P(OnlineTrainer):
             return new_state, frequency + counts, \
                 {"loss": loss, "acc": acc}
 
+        if self._dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            step = dp_shard_map(
+                step, self._dp_mesh,
+                in_specs=(P(), dp_batch_specs(("images", "labels",
+                                               "mask")), P()),
+                out_specs=(P(), P(), P()))
         self._step = jax.jit(step)
 
-        @jax.jit
         def predict_fn(frozen, trainable, images_u8, frequency, mask):
             x = images_u8.astype(jnp.float32) / 255.0
             x = preprocess.resize_bilinear(x, clip_cfg.image_size)
@@ -116,7 +136,27 @@ class L2P(OnlineTrainer):
                 train=False, diversified=div, compute_dtype=dt)
             return jnp.argmax(logits + mask[None, :], axis=-1)
 
-        self._predict_fn = predict_fn
+        if self._eval_dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            predict_fn = dp_shard_map(
+                predict_fn, self._eval_dp_mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+                out_specs=P(DATA_AXIS))
+        self._predict_fn = jax.jit(predict_fn)
+
+    # -- checkpoint plumbing: the prompt-selection frequency counter lives
+    # OUTSIDE TrainState — without this a resumed run re-diversifies the
+    # pool from a uniform counter (VERDICT r4 §5.4) -----------------------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["l2p"] = {"frequency": np.asarray(self.frequency)}
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("l2p")
+        if st:
+            self.frequency = jnp.asarray(st["frequency"])
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
@@ -185,8 +225,17 @@ class DualPrompt(OnlineTrainer):
         # --remat / bs>=256: checkpoint the prompted forward
         remat_on = cfg.remat or cfg.batchsize >= 256
 
+        # pure-DP meshes ride the unified shard_map road (VERDICT r4 #1):
+        # batch rows local per shard, prompt pools replicated, grads
+        # pmean'd; per-row e-prompt selection counts psum to the global
+        # frequency increment, so sharded == single-program semantics
+        self._dp_mesh = self.resolve_dp_mesh(cfg.batchsize)
+        self._eval_dp_mesh = self.resolve_dp_mesh(cfg.test_batchsize)
+        dp_axis = DATA_AXIS if self._dp_mesh is not None else None
+
         def step(state: TrainState, batch, e_frequency):
             rng, aug_rng = jax.random.split(state.rng)
+            aug_rng = dp_fold_rng(dp_axis, aug_rng)
             images = pipeline(aug_rng, batch["images"])
 
             def fwd_body(trainable, images, e_frequency):
@@ -210,6 +259,10 @@ class DualPrompt(OnlineTrainer):
 
             (loss, (acc, counts)), grads = jax.value_and_grad(
                 objective, has_aux=True)(state.trainable)
+            if dp_axis is not None:
+                loss, acc, grads = jax.lax.pmean((loss, acc, grads),
+                                                 dp_axis)
+                counts = jax.lax.psum(counts, dp_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
@@ -219,9 +272,15 @@ class DualPrompt(OnlineTrainer):
             return new_state, e_frequency + counts, \
                 {"loss": loss, "acc": acc}
 
+        if self._dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            step = dp_shard_map(
+                step, self._dp_mesh,
+                in_specs=(P(), dp_batch_specs(("images", "labels",
+                                               "mask")), P()),
+                out_specs=(P(), P(), P()))
         self._step = jax.jit(step)
 
-        @jax.jit
         def predict_fn(frozen, trainable, images_u8, e_frequency, mask):
             x = images_u8.astype(jnp.float32) / 255.0
             x = preprocess.resize_bilinear(x, clip_cfg.image_size)
@@ -233,7 +292,27 @@ class DualPrompt(OnlineTrainer):
                 len_g=len_g, len_e=len_e, train=False, compute_dtype=dt)
             return jnp.argmax(logits + mask[None, :], axis=-1)
 
-        self._predict_fn = predict_fn
+        if self._eval_dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            predict_fn = dp_shard_map(
+                predict_fn, self._eval_dp_mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(), P()),
+                out_specs=P(DATA_AXIS))
+        self._predict_fn = jax.jit(predict_fn)
+
+    # -- checkpoint plumbing: the e-prompt frequency counter lives OUTSIDE
+    # TrainState — persisted so a resumed run keeps selection statistics
+    # (VERDICT r4 §5.4) ---------------------------------------------------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["dualprompt"] = {"e_frequency": np.asarray(self.e_frequency)}
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("dualprompt")
+        if st:
+            self.e_frequency = jnp.asarray(st["e_frequency"])
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg
@@ -257,10 +336,14 @@ class DualPrompt(OnlineTrainer):
 
 
 def mvp_head_scores(feat, w, b, y, cls_mask, class_mask, use_mask: bool,
-                    margin: float):
+                    margin: float, dp_axis=None):
     """(ign_score, cps_score) per sample from the linear classifier head —
     reference ``methods/mvp.py`` ``_compute_grads`` (:189-214) +
     ``_get_ignore``/``_get_compensation`` (:216-226) in closed form.
+
+    ``dp_axis``: under the shard_map DP road the batch-mean gradient must
+    be the GLOBAL batch's (the reference's single-device semantics), so
+    the per-class mean gradient is pmean'd across equal shards.
 
     The reference deep-copies the head and runs a backward per sample; for
     logits ``z = (f @ W.T + b) * m + M`` (per-sample sigmoid mask ``m``,
@@ -282,9 +365,13 @@ def mvp_head_scores(feat, w, b, y, cls_mask, class_mask, use_mask: bool,
     coef = (p - onehot) * (m if use_mask else 1.0)          # (B, C)
     ar = jnp.arange(y.shape[0])
     sample_grad = coef[ar, y][:, None] * f                  # (B, E)
-    batch_grad = (jnp.einsum("bc,be->ce", coef, f,
-                             precision=jax.lax.Precision.HIGHEST)
-                  / y.shape[0])[y]                          # (B, E)
+    batch_grad_full = jnp.einsum("bc,be->ce", coef, f,
+                                 precision=jax.lax.Precision.HIGHEST) \
+        / y.shape[0]                                        # (C, E)
+    if dp_axis is not None:
+        # equal shard sizes: pmean of per-shard means == global mean
+        batch_grad_full = jax.lax.pmean(batch_grad_full, dp_axis)
+    batch_grad = batch_grad_full[y]                         # (B, E)
 
     def cos(a, bb, eps=1e-8):
         na = jnp.linalg.norm(a, axis=-1) + eps
@@ -365,8 +452,16 @@ class MVP(OnlineTrainer):
         # --remat / bs>=256: checkpoint the prompted-tower forward
         remat_on = cfg.remat or cfg.batchsize >= 256
 
+        # pure-DP meshes ride the unified shard_map road (VERDICT r4 #1):
+        # the head-gradient scores pmean their global batch mean, the
+        # e-prompt usage-count increments psum, grads pmean over ICI
+        self._dp_mesh = self.resolve_dp_mesh(cfg.batchsize)
+        self._eval_dp_mesh = self.resolve_dp_mesh(cfg.test_batchsize)
+        dp_axis = DATA_AXIS if self._dp_mesh is not None else None
+
         def step(state: TrainState, batch, count):
             rng, aug_rng = jax.random.split(state.rng)
+            aug_rng = dp_fold_rng(dp_axis, aug_rng)
             images = pipeline(aug_rng, batch["images"])
 
             def feats_body(trainable, count, images):
@@ -374,7 +469,7 @@ class MVP(OnlineTrainer):
                     state.frozen, trainable, count, images, clip_cfg,
                     use_contrastiv=use_contrastiv,
                     use_last_layer=use_last_layer, train=True,
-                    query_ln=False, compute_dtype=dt)
+                    query_ln=False, compute_dtype=dt, dp_axis=dp_axis)
 
             feats_fn = jax.checkpoint(feats_body) if remat_on \
                 else feats_body
@@ -387,7 +482,7 @@ class MVP(OnlineTrainer):
                     jax.lax.stop_gradient(trainable["head"]["w"]),
                     jax.lax.stop_gradient(trainable["head"]["b"]),
                     batch["labels"], jax.lax.stop_gradient(cls_mask),
-                    batch["mask"], use_mask, margin)
+                    batch["mask"], use_mask, margin, dp_axis=dp_axis)
                 img_used = img / cps[:, None].astype(img.dtype) \
                     if use_afs else img
                 logits = head_logits(trainable, img_used, cls_mask,
@@ -399,8 +494,12 @@ class MVP(OnlineTrainer):
                     # reference broadcast quirk (mvp.py:248-250): nll_loss
                     # is mean-reduced before the (B,) ign**gamma broadcast,
                     # so GSF scales the mean loss by mean(ign**gamma)
-                    loss = (1 - alpha) * loss + \
-                        alpha * jnp.mean(ign ** gamma) * loss
+                    gsf_w = jnp.mean(ign ** gamma)
+                    if dp_axis is not None:
+                        # the scale must be the GLOBAL batch mean (ign is
+                        # stop-gradient — a constant in the backward)
+                        gsf_w = jax.lax.pmean(gsf_w, dp_axis)
+                    loss = (1 - alpha) * loss + alpha * gsf_w * loss
                 loss = loss + sim_loss
                 acc = jnp.mean((jnp.argmax(logits, -1) ==
                                 batch["labels"]).astype(jnp.float32))
@@ -408,6 +507,15 @@ class MVP(OnlineTrainer):
 
             (loss, (acc, new_count)), grads = jax.value_and_grad(
                 objective, has_aux=True)(state.trainable)
+            if dp_axis is not None:
+                # per-shard means over equal shards -> pmean == the global
+                # batch mean; the e-prompt usage counts are per-row
+                # bincounts, so the global increment is the psum of the
+                # local deltas
+                loss, acc, grads = jax.lax.pmean((loss, acc, grads),
+                                                 dp_axis)
+                new_count = count + jax.lax.psum(new_count - count,
+                                                 dp_axis)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.trainable)
             trainable = optax.apply_updates(state.trainable, updates)
@@ -415,9 +523,15 @@ class MVP(OnlineTrainer):
                                  opt_state=opt_state, rng=rng), new_count, \
                 {"loss": loss, "acc": acc}
 
+        if self._dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            step = dp_shard_map(
+                step, self._dp_mesh,
+                in_specs=(P(), dp_batch_specs(("images", "labels",
+                                               "mask")), P()),
+                out_specs=(P(), P(), P()))
         self._step = jax.jit(step)
 
-        @jax.jit
         def predict_fn(frozen, trainable, count, images_u8, mask):
             x = images_u8.astype(jnp.float32) / 255.0
             x = preprocess.resize_bilinear(x, clip_cfg.image_size)
@@ -431,7 +545,27 @@ class MVP(OnlineTrainer):
             return jnp.argmax(head_logits(trainable, img, cls_mask, mask),
                               axis=-1)
 
-        self._predict_fn = predict_fn
+        if self._eval_dp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            predict_fn = dp_shard_map(
+                predict_fn, self._eval_dp_mesh,
+                in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+                out_specs=P(DATA_AXIS))
+        self._predict_fn = jax.jit(predict_fn)
+
+    # -- checkpoint plumbing: the e-prompt usage-count buffer lives
+    # OUTSIDE TrainState — persisted so a resumed run keeps selection
+    # statistics (VERDICT r4 §5.4) -----------------------------------------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["mvp_vit"] = {"count": np.asarray(self.count)}
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("mvp_vit")
+        if st:
+            self.count = jnp.asarray(st["count"])
 
     def online_step(self, images, labels, indices):
         cfg = self.cfg

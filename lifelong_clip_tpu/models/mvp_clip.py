@@ -122,7 +122,8 @@ def mvp_features(frozen,
                  use_last_layer: bool = True,
                  train: bool = True,
                  query_ln: bool = True,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16,
+                 dp_axis=None):
     """Returns (image_feats, per-sample class mask, similarity_loss,
     new_count, selected idx).
 
@@ -130,7 +131,13 @@ def mvp_features(frozen,
     token (reference models/mvp_clip.py:218 ``ln_post(query[:, 0, :])``);
     the ViT-classifier MVP does NOT (reference models/mvp.py:188-191 takes
     the raw block output ``query[:, 0]`` with no ``backbone.norm``) — the
-    ViT trainer passes False."""
+    ViT trainer passes False.
+
+    ``dp_axis``: inside the shard_map DP road the contrastive similarity
+    loss couples every sample to every OTHER sample's count mass (the
+    reference's (B, B) broadcast quirk below) — the mass vector is
+    all-gathered so each shard's cross terms span the GLOBAL batch and the
+    trainer's loss pmean reproduces single-program semantics exactly."""
     x, v = _vit_prelude(frozen, images, cfg, compute_dtype)
     b = x.shape[0]
 
@@ -169,8 +176,18 @@ def mvp_features(frozen,
         # mass too, and the mean runs over the cross terms as well
         m = mass[idx]                                       # (B,)
         kd = key_dist[idx]                                  # (B, E)
+        if dp_axis is not None:
+            # global cross terms: columns j span all shards via
+            # all_gather; rows i stay shard-local, so the global (i, j)
+            # mean is the pmean of per-shard means — pmean'd BEFORE the
+            # nonlinear log (pmean's psum transpose keeps the gradients
+            # exactly equal to the single-program step's)
+            m = jax.lax.all_gather(m, dp_axis, tiled=True)  # (B_global,)
         pos = jnp.exp(kd[:, None, :] / m[None, :, None]).mean()
         anchor = jnp.exp(sel_dist[:, None] / m[None, :]).mean()
+        if dp_axis is not None:
+            pos = jax.lax.pmean(pos, dp_axis)
+            anchor = jax.lax.pmean(anchor, dp_axis)
         similarity_loss = -jnp.log(pos / (anchor + pos) + 1e-6)
     else:
         similarity_loss = sel_dist.mean()

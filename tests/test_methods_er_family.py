@@ -270,6 +270,19 @@ def test_rm_default_run_live_reference_path(synth):  # noqa: F811
     np.testing.assert_allclose(mid, base * 0.01 + (base - base * 0.01) / 2,
                                rtol=1e-6)
     assert RM.memory_epoch_lr(4, base) == base          # next restart
+    # imagenet branch replays MultiStepLR([30,60,80,90], gamma=0.1): the
+    # reference swaps schedulers on dataset (rainbow_memory.py:127-130);
+    # warm-start epochs 0/1 force-set LR before any scheduler step
+    assert RM.memory_epoch_lr(0, base, "imagenet") == base * 0.1
+    assert RM.memory_epoch_lr(1, base, "imagenet") == base
+    assert RM.memory_epoch_lr(2, base, "imagenet") == base   # held at base
+    assert RM.memory_epoch_lr(30, base, "imagenet") == base  # e-1=29 < 30
+    np.testing.assert_allclose(
+        RM.memory_epoch_lr(31, base, "imagenet"), base * 0.1, rtol=1e-12)
+    np.testing.assert_allclose(
+        RM.memory_epoch_lr(61, base, "imagenet"), base * 0.01, rtol=1e-12)
+    np.testing.assert_allclose(
+        RM.memory_epoch_lr(95, base, "imagenet"), base * 1e-4, rtol=1e-12)
     # the run ends right after the last memory train; its final epoch LR
     # (f32) is what the state carries
     np.testing.assert_allclose(

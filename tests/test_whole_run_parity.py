@@ -2078,7 +2078,19 @@ def _run_reference_erfam(ref_env, method: str):
 
     tr.online_step = record_step
     try:
-        tr.run()
+        # harness-side warning scope: the REFERENCE's save_result takes
+        # np.mean over its periodic-eval list (_trainer.py:368) which is
+        # EMPTY at this harness's eval_period (beyond the stream), and
+        # over acc_diff when no class repeats — numpy's "Mean of empty
+        # slice" RuntimeWarnings are the reference's own artifact math,
+        # not a defect under test (our save_result guards these)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.filterwarnings(
+                "ignore", "Mean of empty slice", RuntimeWarning)
+            warnings.filterwarnings(
+                "ignore", "invalid value encountered", RuntimeWarning)
+            tr.run()
     finally:
         if method == "rm":   # un-leak the Memory class patch
             import utils.memory as ref_mem_mod
