@@ -112,6 +112,24 @@ class LwF(ER):
                                      or fb))
         self._old_trainable = None
 
+    # -- checkpoint plumbing: the KD teacher lives OUTSIDE TrainState —
+    # without this a resumed run silently trains with NO distillation
+    # until the next snapshot (VERDICT r4 §5.4) ---------------------------
+    def checkpoint_extra(self):
+        extra = super().checkpoint_extra()
+        extra["lwf"] = {
+            "old_trainable": None if self._old_trainable is None
+            else jax.tree.map(np.asarray, self._old_trainable)}
+        return extra
+
+    def restore_extra(self, extra):
+        super().restore_extra(extra)
+        st = (extra or {}).get("lwf")
+        if not st:
+            return
+        self._old_trainable = None if st["old_trainable"] is None \
+            else jax.tree.map(jnp.asarray, st["old_trainable"])
+
     def online_step(self, images, labels, indices):
         cfg = self.cfg
         # memory stores STREAM samples: snapshot before replay_concat

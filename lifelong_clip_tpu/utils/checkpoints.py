@@ -64,7 +64,7 @@ def save_checkpoint(path: str,
         pickle.dump(host, f)
 
     tree = _tree_to_numpy(state)
-    if _HAVE_ORBAX:
+    if _HAVE_ORBAX and jax.tree.leaves(tree):
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(os.path.join(os.path.abspath(path), "train_state"),
                    tree, force=True)
@@ -95,10 +95,14 @@ def load_checkpoint(path: str, *, state_like=None):
 
 def restore_trainer(trainer, path: str):
     """Restore a trainer in place: state + memory + vocab + metrics +
-    cursor. Returns the cursor dict for the run loop to resume from."""
-    tree, host = load_checkpoint(path, state_like=trainer.state)
-    trainer.state = jax.tree.map(
-        lambda like, a: jax.numpy.asarray(a), trainer.state, tree)
+    cursor. Returns the cursor dict for the run loop to resume from.
+    Eval-only trainers (continual-clip) have no TrainState — only the
+    host-side books are restored for them."""
+    state_like = getattr(trainer, "state", None)
+    tree, host = load_checkpoint(path, state_like=state_like)
+    if state_like is not None:
+        trainer.state = jax.tree.map(
+            lambda like, a: jax.numpy.asarray(a), trainer.state, tree)
     if host.get("memory") and trainer.memory is not None:
         trainer.memory.load_state_dict(host["memory"])
     if host.get("vocab") and trainer.vocab is not None:

@@ -247,6 +247,95 @@ def test_ewcpp_checkpoint_restores_fisher_state(tmp_path, synth):  # noqa: F811
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def _drive_task(tr, train, cfg, task_id):
+    """Run one stream task the way OnlineTrainer.run does (steps,
+    task-boundary work, task-end eval) without the run loop."""
+    from lifelong_clip_tpu.utils.stream import iter_batches
+    tr.online_before_task(task_id)
+    for batch_idx in iter_batches(tr.stream.task_indices[task_id],
+                                  cfg.batchsize):
+        images, labels = train.gather(batch_idx)
+        tr.vocab.expose(labels)
+        tr.online_step(images, labels, batch_idx)
+        tr.samples_seen += len(batch_idx)
+    tr.online_after_task(task_id)
+    tr._task_end_eval(task_id)
+
+
+def _first_task1_step(tr, train, cfg):
+    """online_before_task(1) + the first task-1 online step; returns its
+    stats dict."""
+    from lifelong_clip_tpu.utils.stream import iter_batches
+    tr.online_before_task(1)
+    batch_idx = next(iter(iter_batches(tr.stream.task_indices[1],
+                                       cfg.batchsize)))
+    images, labels = train.gather(batch_idx)
+    tr.vocab.expose(labels)
+    return tr.online_step(images, labels, batch_idx)
+
+
+@pytest.mark.parametrize("method", __import__("test_sharding").ALL_METHODS)
+def test_resume_equivalence_all_methods(tmp_path, method):
+    """EVERY registered method resumes losslessly (VERDICT r4 #2): run
+    task 0 → checkpoint → restore a fresh trainer → the first task-1
+    step's loss, updated trainables, AND method-private host state equal
+    the uninterrupted run's. This is what catches state living outside
+    TrainState/checkpoint_extra — lwf's KD teacher, proto's prototypes/
+    covariances/pool counter, CLIP_MVP + MVP usage counts, L2P/DualPrompt
+    frequency counters (all threaded in r5), on top of the r4 clib/ewc/rm
+    plumbing."""
+    from test_sharding import _tiny_trainer_for
+
+    cls, kw = _tiny_trainer_for(method)
+    from lifelong_clip_tpu.data.registry import make_synthetic
+    train = make_synthetic(n_classes=8, per_class=24, image_size=32, seed=0)
+    test = make_synthetic(n_classes=8, per_class=6, image_size=32, seed=0,
+                          train=False)
+    cfg = tiny_cfg(method=method, online_iter=1,
+                   ckpt_dir=str(tmp_path / "ck"), **kw)
+
+    # uninterrupted run: task 0, checkpoint, keep going into task 1
+    tr = cls(cfg, train_dataset=train, test_dataset=test)
+    _drive_task(tr, train, cfg, 0)
+    tr._maybe_checkpoint(0)
+    want_stats = _first_task1_step(tr, train, cfg)
+
+    # resumed run: fresh trainer + restore, then the same task-1 step
+    tr2 = cls(cfg, train_dataset=train, test_dataset=test)
+    from lifelong_clip_tpu.utils.checkpoints import restore_trainer
+    cursor = restore_trainer(tr2, str(tmp_path / "ck"))
+    assert cursor["task_id"] == 1
+    got_stats = _first_task1_step(tr2, train, cfg)
+
+    if method == "continual-clip":
+        # eval-only: equivalence is the predictions on a probe batch
+        rng = np.random.default_rng(3)
+        probe = rng.integers(0, 255, (8, 32, 32, 3), np.uint8)
+        for t in (tr, tr2):
+            t.prepare_eval()
+        np.testing.assert_array_equal(np.asarray(tr.predict(probe)),
+                                      np.asarray(tr2.predict(probe)))
+        return
+
+    for k in want_stats:
+        np.testing.assert_allclose(float(want_stats[k]),
+                                   float(got_stats[k]), rtol=2e-6,
+                                   err_msg=f"stats[{k}]")
+    for a, b in zip(jax.tree.leaves(tr.state.trainable),
+                    jax.tree.leaves(tr2.state.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-7)
+    # method-private host state advanced identically past the resume
+    for a, b in zip(jax.tree.leaves(tr.checkpoint_extra()),
+                    jax.tree.leaves(tr2.checkpoint_extra())):
+        if isinstance(a, (int, float, bool, str)) or a is None:
+            assert a == b
+        else:
+            np.testing.assert_allclose(np.asarray(a, np.float64),
+                                       np.asarray(b, np.float64),
+                                       rtol=2e-6, atol=1e-7)
+
+
 def test_rm_checkpoint_restores_eviction_stream(tmp_path, synth):  # noqa: F811
     """RM's eviction-draw generator state rides memory.state_dict: a
     restored memory continues the SAME draw stream, so resumed eviction
