@@ -39,26 +39,30 @@ _KNOWN_COUNTS = {
 }
 
 
-def _find_checkpoint():
-    for p in _SEARCH:
-        if p and os.path.isfile(p):
-            return p
-    return None
-
-
-CKPT = _find_checkpoint()
+# EVERY checkpoint on disk runs the full golden-parity set (VERDICT r4
+# item #6: a machine with both ViT and RN50 weights pins both towers —
+# RN50 exercises models/resnet.py's attention-pool head at full scale)
+_CKPTS = []
+for _p in _SEARCH:
+    if _p and os.path.isfile(_p) and _p not in _CKPTS:
+        _CKPTS.append(_p)
 
 pytestmark = pytest.mark.skipif(
-    CKPT is None,
+    not _CKPTS,
     reason="no real CLIP checkpoint on disk (set LLC_CLIP_CKPT to enable "
            "full-scale golden parity)")
 
 
+@pytest.fixture(scope="module", params=_CKPTS or ["none"],
+                ids=[os.path.basename(p) for p in _CKPTS] or ["none"])
+def ckpt(request):
+    return request.param
+
+
 @pytest.fixture(scope="module")
-def loaded():
-    import jax
+def loaded(ckpt):
     from lifelong_clip_tpu.models.convert import load_clip_params
-    params, cfg = load_clip_params(CKPT)
+    params, cfg = load_clip_params(ckpt)
     return params, cfg
 
 
@@ -73,7 +77,7 @@ def test_converter_param_count(loaded):
 
 
 @pytest.fixture(scope="module")
-def ref_model():
+def ref_model(ckpt):
     """Reference torch CLIP built from the same checkpoint."""
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only torch
@@ -92,9 +96,9 @@ def ref_model():
     spec.loader.exec_module(mod)
 
     try:
-        sd = torch.jit.load(CKPT, map_location="cpu").state_dict()
+        sd = torch.jit.load(ckpt, map_location="cpu").state_dict()
     except RuntimeError:
-        sd = torch.load(CKPT, map_location="cpu")
+        sd = torch.load(ckpt, map_location="cpu")
     sd = {k: v.float() for k, v in sd.items()}
     # prefix_prompt is the one design whose image path doesn't crash in
     # the shipped reference (see tests/test_reference_parity.py notes);
