@@ -11,6 +11,7 @@ tools/bench_reference_cpu.py (tools/cpu_baseline.json) when present, else
 0.0 — never a guessed number.
 """
 
+import argparse
 import json
 import time
 
@@ -18,21 +19,29 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_name", default="ViT-B/16",
+                    help="tower preset; ViT-L/14 gives the L-scale MFU row "
+                         "(VERDICT r4 item 4)")
+    ap.add_argument("--batchsize", type=int, default=64)
+    args = ap.parse_args()
+
     from lifelong_clip_tpu.utils.compile_cache import \
         enable_compilation_cache
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    from lifelong_clip_tpu.config import CLIPConfig, PEFTConfig
+    from lifelong_clip_tpu.config import PEFTConfig
     from lifelong_clip_tpu.methods.engine import TrainState, make_train_step
     from lifelong_clip_tpu.models import build_peft
     from lifelong_clip_tpu.models.init import init_clip_params
     from lifelong_clip_tpu.utils.train_utils import make_optimizer
 
-    batch_size = 64
+    batch_size = args.batchsize
     n_cls = 64  # batch-visible class capacity
-    cfg = CLIPConfig()  # ViT-B/16
+    from lifelong_clip_tpu.config import CLIP_PRESETS
+    cfg = CLIP_PRESETS[args.model_name]
     peft_cfg = PEFTConfig(method="lora", encoder="image", lora_r=4)
 
     params = init_clip_params(jax.random.PRNGKey(0), cfg)
@@ -162,8 +171,9 @@ def main():
     print(json.dumps({
         "metric": "online_cl_train_samples_per_sec_per_chip",
         "value": round(samples_per_sec, 2),
-        "unit": "samples/s (ViT-B/16 LoRA online step, bs=64, CIFAR "
-                "inputs, incl. fused AutoAugment pipeline)",
+        "unit": f"samples/s ({args.model_name} LoRA online step, "
+                f"bs={batch_size}, CIFAR inputs, incl. fused AutoAugment "
+                "pipeline)",
         "vs_baseline": vs_baseline,
         "vs_baseline_note": note,
         "p50_step_ms": round(step_ms, 2),
