@@ -387,6 +387,33 @@ def test_unrouted_model_axis_mesh_rejected(devices):
         cls(cfg, train_dataset=train, test_dataset=test)
 
 
+def test_dp_mesh_skipped_on_nondividing_batch(devices):
+    """resolve_dp_mesh's safety valve: a batch size that does not divide
+    the data axis cannot be row-sharded, so the trainer must fall back to
+    the plain single-program jitted step — loudly (one warning), never
+    GSPMD through the Pallas custom calls — and still train/eval fine.
+    The eval road stays sharded when test_batchsize DOES divide."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import tiny_cfg
+    from lifelong_clip_tpu.data.registry import make_synthetic
+
+    cls, kw = _tiny_trainer_for("l2p")
+    train = make_synthetic(n_classes=8, per_class=24, image_size=32, seed=0)
+    test = make_synthetic(n_classes=8, per_class=6, image_size=32, seed=0,
+                          train=False)
+    cfg = tiny_cfg(method="l2p", online_iter=1, mesh_shape=(8, 1),
+                   batchsize=12, test_batchsize=8, **kw)
+    tr = cls(cfg, train_dataset=train, test_dataset=test)
+    assert tr._dp_mesh is None            # 12 % 8 != 0 -> no train road
+    assert tr._eval_dp_mesh is not None   # 8 % 8 == 0 -> eval road kept
+    # the skip warned (once; the flag is the one-time guard itself —
+    # caplog can't see it reliably under -q's fd capture)
+    assert getattr(tr, "_warned_mesh_skip", False)
+    out = tr.run()
+    assert np.isfinite(out["A_last"])
+
+
 def test_mvp_clip_dp_step_matches_jit(devices, monkeypatch):
     """Prompted-method shard_map-vs-jit equality (VERDICT r4 #1 'done'
     bar): one CLIP_MVP online step under the 8-way DP road must
