@@ -1,3 +1,9 @@
+"""Tunnel-latency / TPU-health probe (r2 vintage, was repo-root
+mlp_probe.py): times a tiny cached jit in chained vs independent
+dispatch. Run this FIRST when the tunneled TPU looks wedged — a healthy
+tunnel shows ~1 ms/call chained and ~25 ms/call independent (the host
+value-fetch round trip CLAUDE.md's timing rules are built on)."""
+
 import time
 import jax, jax.numpy as jnp
 
